@@ -1,0 +1,183 @@
+"""TSDF engine facade — the role of ITMBasicEngine + CLIEngine +
+InfiniTAM_tools in the reference (ITMBasicEngine.tpp:261-384 ProcessFrame,
+:501 runRaycast; CLIEngine.cpp:13-77; InfiniTAM_tools.cpp:3-68
+createTsdfEngine).
+
+Per frame: view build (depth already metric from the reader) -> camera
+track (ICP, or ground-truth pose injection when use_gt_pose — matching the
+fork's gt-pose path, ITMBasicEngine.tpp:274-279) -> fuse -> record the
+frame's pose/intrinsics for later raycast replay (the fork's
+camPoses/camIntrincs recording, ITMBasicEngine.tpp:381-384).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from . import integrate, raycast as rc
+from .volume import TsdfParams, TsdfVolume, create
+
+
+class TrackingResult:
+    """behaviourOnFailure policy surface (ITMLibSettings.cpp:42,
+    ITMBasicEngine.tpp:283-333)."""
+
+    GOOD = 2
+    POOR = 1
+    FAILED = 0
+
+
+class TsdfEngine:
+    def __init__(self, cfg: Config, width: int, height: int, K: np.ndarray):
+        t = cfg.pipe.tsdf
+        tpu = cfg.tpu
+        self.params = TsdfParams(
+            voxel_size=t.voxel_size,
+            mu=t.trunc_dist,
+            max_w=tpu.max_weight,
+            frustum_min=t.viewFrustum_min,
+            frustum_max=t.viewFrustum_max,
+            hash_size=tpu.hash_size,
+            block_capacity=tpu.block_capacity,
+            max_probes=tpu.max_probes,
+            visible_capacity=tpu.visible_block_capacity,
+            alloc_steps=tpu.alloc_steps,
+            raycast_steps=tpu.raycast_max_steps,
+        )
+        self.vol: TsdfVolume = create(self.params)
+        self.width, self.height = int(width), int(height)
+        self.K = np.asarray(K, dtype=np.float32)
+        self.use_gt_pose = bool(t.use_gt_pose)
+        self.tracking_active = not self.use_gt_pose
+        self.gt_c2w_poses: list[np.ndarray] = []
+        self.cam_poses: list[np.ndarray] = []          # estimated c2w per frame
+        self.cam_intrinsics: list[np.ndarray] = []
+        self.current_frame = 0
+        self._last_pose: np.ndarray = np.eye(4, dtype=np.float32)
+        self._tracker = None  # set by attach_tracker (slam.tracker)
+        self._last_raycast_for_tracking = None
+
+    # -- configuration -------------------------------------------------------
+
+    def set_gt_poses(self, poses: list[np.ndarray]) -> None:
+        self.gt_c2w_poses = [np.asarray(p, dtype=np.float32) for p in poses]
+
+    def turn_off_tracking(self) -> None:
+        self.tracking_active = False
+
+    def attach_tracker(self, tracker) -> None:
+        self._tracker = tracker
+        self.tracking_active = not self.use_gt_pose
+
+    # -- per-frame processing -------------------------------------------------
+
+    def process_frame(self, rgb: np.ndarray, depth: np.ndarray) -> np.ndarray:
+        """Track (or inject gt pose) + fuse one RGB-D frame; returns the
+        estimated c2w pose (ITMBasicEngine::ProcessFrame)."""
+        i = self.current_frame
+        if self.tracking_active and self._tracker is not None and i > 0:
+            pose, quality = self._tracker.track(
+                self._last_pose,
+                depth,
+                self._last_raycast_for_tracking,
+                self.K,
+            )
+            if quality == TrackingResult.FAILED:
+                pose = self._last_pose  # pose revert (ITMBasicEngine.tpp:365-366)
+        elif self.gt_c2w_poses:
+            # frames beyond the supplied gt trajectory keep the last pose
+            pose = self.gt_c2w_poses[min(i, len(self.gt_c2w_poses) - 1)]
+        else:
+            pose = self._last_pose
+
+        d = jnp.asarray(np.asarray(depth).reshape(self.height, self.width))
+        c = jnp.asarray(np.asarray(rgb).reshape(self.height, self.width, 3))
+        self.vol = integrate.fuse_frame(
+            self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K)
+        )
+        self._last_pose = np.asarray(pose, dtype=np.float32)
+        self.cam_poses.append(self._last_pose.copy())
+        self.cam_intrinsics.append(self.K.copy())
+        self.current_frame += 1
+
+        if self.tracking_active and self._tracker is not None:
+            # raycast-prepare for the next frame's ICP
+            # (TrackingController::Prepare, ITMTrackingController.h:66)
+            self._last_raycast_for_tracking = self.run_raycast(self._last_pose)
+        return self._last_pose
+
+    # -- raycast service -------------------------------------------------------
+
+    def run_raycast(self, c2w: np.ndarray, K: np.ndarray | None = None,
+                    width: int | None = None, height: int | None = None) -> dict:
+        """Raycast from an arbitrary pose (the fork's runRaycast service,
+        ITMBasicEngine.tpp:501; consumed by SLAMPipeline::runRaycastByCam,
+        slam_pipeline.cpp:362-415)."""
+        K = jnp.asarray(self.K if K is None else K, dtype=jnp.float32)
+        width = width or self.width
+        height = height or self.height
+        w2c = np.linalg.inv(np.asarray(c2w, dtype=np.float32))
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        vis = integrate.visible_blocks(
+            self.vol, jnp.asarray(w2c), fx, fy, cx, cy, width, height
+        )
+        return rc.raycast(self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
+                          vis, width, height)
+
+    # -- persistence -----------------------------------------------------------
+
+    def save_scene(self, out_dir: str) -> None:
+        """Scene checkpoint (ITMBasicEngine::SaveToFile equivalent,
+        ITMBasicEngine.tpp:120-135) as one npz."""
+        os.makedirs(out_dir, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(out_dir, "scene.npz"),
+            table_keys=np.asarray(self.vol.table_keys),
+            table_ptrs=np.asarray(self.vol.table_ptrs),
+            block_coords=np.asarray(self.vol.block_coords),
+            sdf=np.asarray(self.vol.sdf),
+            w_depth=np.asarray(self.vol.w_depth),
+            color=np.asarray(self.vol.color),
+            w_color=np.asarray(self.vol.w_color),
+            n_blocks=np.asarray(self.vol.n_blocks),
+            cam_poses=np.stack(self.cam_poses) if self.cam_poses else np.zeros((0, 4, 4)),
+            cam_intrinsics=np.stack(self.cam_intrinsics)
+            if self.cam_intrinsics
+            else np.zeros((0, 3, 3)),
+        )
+
+    def load_scene(self, in_dir: str) -> None:
+        """ITMBasicEngine::LoadFromFile equivalent (ITMBasicEngine.tpp:138-171):
+        reset then load."""
+        z = np.load(os.path.join(in_dir, "scene.npz"))
+        self.vol = self.vol.replace(
+            table_keys=jnp.asarray(z["table_keys"]),
+            table_ptrs=jnp.asarray(z["table_ptrs"]),
+            block_coords=jnp.asarray(z["block_coords"]),
+            sdf=jnp.asarray(z["sdf"]),
+            w_depth=jnp.asarray(z["w_depth"]),
+            color=jnp.asarray(z["color"]),
+            w_color=jnp.asarray(z["w_color"]),
+            n_blocks=jnp.asarray(z["n_blocks"]),
+        )
+        self.cam_poses = [p.astype(np.float32) for p in z["cam_poses"]]
+        self.cam_intrinsics = [k.astype(np.float32) for k in z["cam_intrinsics"]]
+        self.current_frame = len(self.cam_poses)
+
+    def save_mesh(self, path: str) -> None:
+        """Marching-tetrahedra surface -> colored PLY
+        (ITMBasicEngine::SaveSceneToMesh, ITMBasicEngine.tpp:105-117)."""
+        from ..utils import io as uio
+        from .meshing import extract_mesh
+
+        verts, cols = extract_mesh(self.vol)
+        uio.save_mesh_ply(path, verts, cols)
+
+    @property
+    def voxel_size(self) -> float:
+        return self.params.voxel_size

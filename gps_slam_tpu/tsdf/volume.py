@@ -1,0 +1,176 @@
+"""TSDF volume state — the TPU equivalent of InfiniTAM's
+ITMScene<ITMVoxel_s_rgb, ITMVoxelBlockHash>.
+
+Fixed-capacity struct-of-arrays pools (ITMLocalVBA + hash,
+Objects/Scene/ITMLocalVBA.h:14-35, ITMVoxelBlockHash.h:15-31):
+voxel blocks are 8^3, allocated once, never freed.  Voxel fields mirror
+ITMVoxel_s_rgb (Objects/Scene/ITMVoxelTypes.h:41-69): sdf (f32 here,
+int16 in the reference), integration weight, rgb color and color weight.
+
+Voxel linear index inside a block is x + 8*y + 64*z, matching InfiniTAM's
+locId so dumps are comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import hash as vhash
+
+BLOCK = 8
+BLOCK_VOL = BLOCK ** 3
+
+
+@struct.dataclass
+class TsdfParams:
+    """Static scene parameters (ITMSceneParams: ITMLibSettings ctor +
+    slam/InfiniTAM_tools.cpp:48-63)."""
+
+    voxel_size: float = struct.field(pytree_node=False, default=0.005)
+    mu: float = struct.field(pytree_node=False, default=0.02)
+    max_w: int = struct.field(pytree_node=False, default=100)
+    frustum_min: float = struct.field(pytree_node=False, default=0.2)
+    frustum_max: float = struct.field(pytree_node=False, default=10.0)
+    hash_size: int = struct.field(pytree_node=False, default=2 ** 21)
+    block_capacity: int = struct.field(pytree_node=False, default=2 ** 18)
+    max_probes: int = struct.field(pytree_node=False, default=8)
+    visible_capacity: int = struct.field(pytree_node=False, default=2 ** 15)
+    alloc_steps: int = struct.field(pytree_node=False, default=4)
+    raycast_steps: int = struct.field(pytree_node=False, default=96)
+    refine_steps: int = struct.field(pytree_node=False, default=3)
+
+
+@struct.dataclass
+class TsdfVolume:
+    params: TsdfParams
+    table_keys: jax.Array    # uint32 [H] packed block coords (EMPTY = free)
+    table_ptrs: jax.Array    # int32 [H] block-pool index or -1
+    block_coords: jax.Array  # uint32 [B] reverse map: pool idx -> packed coords
+    sdf: jax.Array           # f32 [B, 512] normalized SDF in [-1, 1], init 1
+    w_depth: jax.Array       # i16 [B, 512]
+    color: jax.Array         # u8 [B, 512, 3]
+    w_color: jax.Array       # i16 [B, 512]
+    n_blocks: jax.Array      # i32 scalar
+
+
+def create(params: TsdfParams) -> TsdfVolume:
+    H, B = params.hash_size, params.block_capacity
+    assert H & (H - 1) == 0, "hash_size must be a power of two"
+    return TsdfVolume(
+        params=params,
+        table_keys=jnp.full((H,), vhash.EMPTY, dtype=jnp.uint32),
+        table_ptrs=jnp.full((H,), -1, dtype=jnp.int32),
+        block_coords=jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32),
+        sdf=jnp.ones((B, BLOCK_VOL), dtype=jnp.float32),
+        w_depth=jnp.zeros((B, BLOCK_VOL), dtype=jnp.int16),
+        color=jnp.zeros((B, BLOCK_VOL, 3), dtype=jnp.uint8),
+        w_color=jnp.zeros((B, BLOCK_VOL), dtype=jnp.int16),
+        n_blocks=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# voxel reads (ITMRepresentationAccess.h:151-427 equivalents)
+# ---------------------------------------------------------------------------
+
+def _split_voxel(pt_voxel_int: jax.Array):
+    """Integer voxel coords [..., 3] -> (packed block key, local linear id)."""
+    block = pt_voxel_int >> 3  # floor division by 8, correct for negatives
+    local = pt_voxel_int - (block << 3)
+    lin = local[..., 0] + BLOCK * local[..., 1] + BLOCK * BLOCK * local[..., 2]
+    key = vhash.pack(block[..., 0], block[..., 1], block[..., 2])
+    return key, lin
+
+
+def read_sdf_nearest(vol: TsdfVolume, pt_voxel: jax.Array):
+    """Uninterpolated SDF at float voxel coords [..., 3]
+    (readFromSDF_float_uninterpolated).  Returns (sdf, found)."""
+    pt = jnp.floor(pt_voxel + 0.5).astype(jnp.int32)
+    key, lin = _split_voxel(pt)
+    ptr = vhash.lookup(vol.table_keys, vol.table_ptrs, key, vol.params.max_probes)
+    found = ptr >= 0
+    safe = jnp.where(found, ptr, 0)
+    sdf = vol.sdf[safe, lin]
+    return jnp.where(found, sdf, 1.0), found
+
+
+def _gather_corner(vol: TsdfVolume, base: jax.Array, offset):
+    pt = base + jnp.array(offset, dtype=jnp.int32)
+    key, lin = _split_voxel(pt)
+    ptr = vhash.lookup(vol.table_keys, vol.table_ptrs, key, vol.params.max_probes)
+    found = ptr >= 0
+    safe = jnp.where(found, ptr, 0)
+    return safe, lin, found
+
+
+_CORNERS = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+            (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
+
+
+def read_sdf_trilinear(vol: TsdfVolume, pt_voxel: jax.Array):
+    """Trilinear SDF (readFromSDF_float_interpolated).  Returns
+    (sdf, any_found).  Missing corners contribute sdf=1 (free space),
+    matching the reference's uninitialized-voxel value."""
+    base = jnp.floor(pt_voxel).astype(jnp.int32)
+    f = pt_voxel - base
+    wx, wy, wz = f[..., 0], f[..., 1], f[..., 2]
+    weights = [
+        (1 - wx) * (1 - wy) * (1 - wz), wx * (1 - wy) * (1 - wz),
+        (1 - wx) * wy * (1 - wz), wx * wy * (1 - wz),
+        (1 - wx) * (1 - wy) * wz, wx * (1 - wy) * wz,
+        (1 - wx) * wy * wz, wx * wy * wz,
+    ]
+    acc = 0.0
+    any_found = jnp.zeros(pt_voxel.shape[:-1], dtype=bool)
+    for off, w in zip(_CORNERS, weights):
+        safe, lin, found = _gather_corner(vol, base, off)
+        v = jnp.where(found, vol.sdf[safe, lin], 1.0)
+        acc = acc + w * v
+        any_found = any_found | found
+    return acc, any_found
+
+
+def read_color_trilinear(vol: TsdfVolume, pt_voxel: jax.Array) -> jax.Array:
+    """Trilinear color in [0,1] (readFromSDF_color4u_interpolated)."""
+    base = jnp.floor(pt_voxel).astype(jnp.int32)
+    f = pt_voxel - base
+    wx, wy, wz = f[..., 0], f[..., 1], f[..., 2]
+    weights = [
+        (1 - wx) * (1 - wy) * (1 - wz), wx * (1 - wy) * (1 - wz),
+        (1 - wx) * wy * (1 - wz), wx * wy * (1 - wz),
+        (1 - wx) * (1 - wy) * wz, wx * (1 - wy) * wz,
+        (1 - wx) * wy * wz, wx * wy * wz,
+    ]
+    acc = jnp.zeros((*pt_voxel.shape[:-1], 3), dtype=jnp.float32)
+    for off, w in zip(_CORNERS, weights):
+        safe, lin, found = _gather_corner(vol, base, off)
+        c = jnp.where(found[..., None], vol.color[safe, lin].astype(jnp.float32), 0.0)
+        acc = acc + w[..., None] * c
+    return acc / 255.0
+
+
+def read_sdf_with_confidence(vol: TsdfVolume, pt_voxel: jax.Array):
+    """Trilinear SDF + trilinear integration weight as confidence
+    (readWithConfidenceFromSDF_float_interpolated)."""
+    base = jnp.floor(pt_voxel).astype(jnp.int32)
+    f = pt_voxel - base
+    wx, wy, wz = f[..., 0], f[..., 1], f[..., 2]
+    weights = [
+        (1 - wx) * (1 - wy) * (1 - wz), wx * (1 - wy) * (1 - wz),
+        (1 - wx) * wy * (1 - wz), wx * wy * (1 - wz),
+        (1 - wx) * (1 - wy) * wz, wx * (1 - wy) * wz,
+        (1 - wx) * wy * wz, wx * wy * wz,
+    ]
+    sdf_acc = 0.0
+    conf_acc = 0.0
+    for off, w in zip(_CORNERS, weights):
+        safe, lin, found = _gather_corner(vol, base, off)
+        sdf_acc = sdf_acc + w * jnp.where(found, vol.sdf[safe, lin], 1.0)
+        conf_acc = conf_acc + w * jnp.where(
+            found, vol.w_depth[safe, lin].astype(jnp.float32), 0.0
+        )
+    return sdf_acc, conf_acc

@@ -1,0 +1,245 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gps_slam_tpu.config import Config
+from gps_slam_tpu.data import synthetic
+from gps_slam_tpu.tsdf import hash as vhash
+from gps_slam_tpu.tsdf import integrate
+from gps_slam_tpu.tsdf import raycast as rc
+from gps_slam_tpu.tsdf import volume as vol_mod
+from gps_slam_tpu.tsdf.engine import TsdfEngine
+
+
+def test_pack_unpack_roundtrip(rng):
+    b = rng.integers(-500, 500, size=(100, 3)).astype(np.int32)
+    packed = vhash.pack(jnp.asarray(b[:, 0]), jnp.asarray(b[:, 1]), jnp.asarray(b[:, 2]))
+    x, y, z = vhash.unpack(packed)
+    np.testing.assert_array_equal(np.asarray(x), b[:, 0])
+    np.testing.assert_array_equal(np.asarray(y), b[:, 1])
+    np.testing.assert_array_equal(np.asarray(z), b[:, 2])
+
+
+def test_hash_insert_lookup(rng):
+    H, B, P = 1 << 12, 1 << 10, 8
+    keys = jnp.full((H,), vhash.EMPTY, dtype=jnp.uint32)
+    ptrs = jnp.full((H,), -1, dtype=jnp.int32)
+    bc = jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32)
+    nb = jnp.zeros((), jnp.int32)
+
+    coords = rng.integers(-100, 100, size=(500, 3)).astype(np.int32)
+    coords = np.unique(coords, axis=0)
+    packed = vhash.pack(*[jnp.asarray(coords[:, k]) for k in range(3)])
+    # insert with duplicates interleaved
+    cand = jnp.concatenate([packed, packed[::2], packed])
+    keys, ptrs, nb, bc = vhash.insert(keys, ptrs, nb, bc, cand, P, B)
+    assert int(nb) == coords.shape[0]
+
+    found = vhash.lookup(keys, ptrs, packed, P)
+    assert int((found >= 0).sum()) == coords.shape[0]
+    # ptrs unique
+    assert np.unique(np.asarray(found)).size == coords.shape[0]
+    # reverse map consistent
+    np.testing.assert_array_equal(
+        np.asarray(bc[np.asarray(found)]), np.asarray(packed)
+    )
+    # unknown coords miss
+    other = vhash.pack(jnp.asarray([400]), jnp.asarray([400]), jnp.asarray([400]))
+    assert int(vhash.lookup(keys, ptrs, other, P)[0]) == -1
+
+
+def test_hash_capacity_overflow(rng):
+    H, B, P = 1 << 10, 16, 8
+    keys = jnp.full((H,), vhash.EMPTY, dtype=jnp.uint32)
+    ptrs = jnp.full((H,), -1, dtype=jnp.int32)
+    bc = jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32)
+    nb = jnp.zeros((), jnp.int32)
+    coords = rng.integers(-50, 50, size=(100, 3)).astype(np.int32)
+    coords = np.unique(coords, axis=0)
+    packed = vhash.pack(*[jnp.asarray(coords[:, k]) for k in range(3)])
+    keys, ptrs, nb, bc = vhash.insert(keys, ptrs, nb, bc, packed, P, B)
+    assert int(nb) == B  # clamped to capacity
+    found = vhash.lookup(keys, ptrs, packed, P)
+    assert int((found >= 0).sum()) == B
+
+
+def _small_params(**kw):
+    d = dict(
+        voxel_size=0.02,
+        mu=0.08,
+        hash_size=1 << 16,
+        block_capacity=1 << 13,
+        visible_capacity=1 << 12,
+        raycast_steps=64,
+        frustum_min=0.2,
+        frustum_max=10.0,
+    )
+    d.update(kw)
+    return vol_mod.TsdfParams(**d)
+
+
+@pytest.fixture(scope="module")
+def fused_volume():
+    """Fuse 8 synthetic frames with gt poses into a small volume."""
+    cams = synthetic.make_cameras(n_frames=8, width=128, height=96)
+    vol = vol_mod.create(_small_params())
+    for cam in cams:
+        vol = integrate.fuse_frame(
+            vol,
+            jnp.asarray(cam.depth[..., 0]),
+            jnp.asarray(cam.image),
+            jnp.asarray(cam.c2w),
+            jnp.asarray(cam.K),
+        )
+    return vol, cams
+
+
+def test_fusion_allocates_blocks(fused_volume):
+    vol, _ = fused_volume
+    nb = int(vol.n_blocks)
+    assert 100 < nb < vol.params.block_capacity
+
+
+def test_fused_sdf_zero_crossing_at_surface(fused_volume):
+    """The SDF along a pixel ray must change sign at the measured depth."""
+    vol, cams = fused_volume
+    cam = cams[0]
+    H, W = cam.depth.shape[:2]
+    ys, xs = [H // 2, H // 3], [W // 2, W // 4, 3 * W // 4]
+    for y in ys:
+        for x in xs:
+            d = float(cam.depth[y, x, 0])
+            ray_c = np.array([(x - cam.cx) / cam.fx, (y - cam.cy) / cam.fy, 1.0])
+            # sample just in front / just behind the surface
+            for offset, expected_sign in [(-0.04, +1), (0.04, -1)]:
+                p_c = ray_c * (d + offset)
+                p_w = cam.c2w[:3, :3] @ p_c + cam.c2w[:3, 3]
+                pt_voxel = jnp.asarray(p_w / vol.params.voxel_size)
+                sdf, found = vol_mod.read_sdf_trilinear(vol, pt_voxel[None])
+                assert bool(found[0]), f"no block at {p_w}"
+                s = float(sdf[0])
+                assert s * expected_sign > 0, (y, x, offset, s)
+
+
+def test_fused_color_matches_texture(fused_volume):
+    vol, cams = fused_volume
+    cam = cams[0]
+    H, W = cam.depth.shape[:2]
+    errs = []
+    for y in range(H // 4, 3 * H // 4, 13):
+        for x in range(W // 4, 3 * W // 4, 17):
+            d = float(cam.depth[y, x, 0])
+            ray_c = np.array([(x - cam.cx) / cam.fx, (y - cam.cy) / cam.fy, 1.0])
+            p_w = cam.c2w[:3, :3] @ (ray_c * d) + cam.c2w[:3, 3]
+            col = vol_mod.read_color_trilinear(
+                vol, jnp.asarray(p_w / vol.params.voxel_size)[None]
+            )
+            errs.append(np.abs(np.asarray(col[0]) - cam.image[y, x]).mean())
+    assert np.median(errs) < 0.15
+
+
+def test_raycast_depth_matches_gt(fused_volume):
+    vol, cams = fused_volume
+    cam = cams[2]
+    H, W = cam.depth.shape[:2]
+    w2c = jnp.asarray(np.linalg.inv(cam.c2w))
+    vis = integrate.visible_blocks(
+        vol, w2c, cam.fx, cam.fy, cam.cx, cam.cy, W, H
+    )
+    maps = rc.raycast(vol, jnp.asarray(cam.c2w), jnp.asarray(cam.K), vis, W, H)
+    depth = np.asarray(maps["depth_map"])[..., 0]
+    gt = cam.depth[..., 0]
+    hit = depth > 0
+    assert hit.mean() > 0.9, f"hit ratio {hit.mean()}"
+    err = np.abs(depth[hit] - gt[hit])
+    assert np.median(err) < vol.params.voxel_size, np.median(err)
+    # color agreement at hits
+    cerr = np.abs(np.asarray(maps["color_map"])[hit] - cam.image[hit]).mean()
+    assert cerr < 0.15, cerr
+    # confidence positive at hits, zero at misses
+    conf = np.asarray(maps["confidence_map"])[..., 0]
+    assert (conf[hit] > 0).all()
+    assert (conf[~hit] == 0).all()
+
+
+def test_raycast_novel_view(fused_volume):
+    """Raycast from a pose not in the training set still matches analytic
+    depth (the map is a real 3D reconstruction, not a depth cache)."""
+    vol, cams = fused_volume
+    base = cams[3]
+    c2w = base.c2w.copy()
+    c2w[:3, 3] += np.array([0.05, -0.03, 0.04], dtype=np.float32)
+    gt_rgb, gt_depth = synthetic.render_frame(
+        c2w, base.width, base.height, base.fx, base.fy, base.cx, base.cy
+    )
+    w2c = jnp.asarray(np.linalg.inv(c2w))
+    vis = integrate.visible_blocks(vol, w2c, base.fx, base.fy, base.cx, base.cy,
+                                   base.width, base.height)
+    maps = rc.raycast(vol, jnp.asarray(c2w), jnp.asarray(base.K), vis,
+                      base.width, base.height)
+    depth = np.asarray(maps["depth_map"])[..., 0]
+    hit = depth > 0
+    assert hit.mean() > 0.85
+    err = np.abs(depth[hit] - gt_depth[hit, 0])
+    assert np.median(err) < 1.5 * vol.params.voxel_size
+
+
+def test_mesh_extraction(fused_volume):
+    from gps_slam_tpu.tsdf.meshing import extract_mesh
+
+    vol, cams = fused_volume
+    verts, cols = extract_mesh(vol)
+    assert verts.shape[0] > 1000
+    assert verts.shape == cols.shape
+    # all mesh vertices must lie close to a true scene surface: they are on
+    # room walls or the inner box => distance to the closest wall plane ~ 0
+    room = synthetic.ROOM
+    d_walls = np.stack(
+        [
+            np.abs(verts[:, k] - lim)
+            for k in range(3)
+            for lim in (0.0, room[k])
+        ],
+        axis=-1,
+    ).min(-1)
+    inner = np.maximum(synthetic.BOX_MIN - verts, verts - synthetic.BOX_MAX).max(-1)
+    d_box = np.abs(inner)
+    dist = np.minimum(d_walls, d_box)
+    assert np.median(dist) < vol.params.voxel_size
+    assert np.quantile(dist, 0.95) < 4 * vol.params.voxel_size
+
+
+def test_engine_roundtrip(tmp_path):
+    cams = synthetic.make_cameras(n_frames=4, width=96, height=72)
+    node = {
+        "input_dir": "x", "image_path": "c", "pose_path": "c", "depth_path": "d",
+        "pcd_name": "n", "depth_scale": 6553.5, "scene_scale": 1.0,
+        "start_frame": 0, "end_frame": 3, "frame_step": 1,
+        "intrinsics": [cams[0].fx, cams[0].fy, cams[0].cx, cams[0].cy],
+        "image_shape": [96, 72], "downscale_factor": 1, "test_split_interval": -1,
+    }
+    cfg = Config.from_dict(synthetic.default_config_dict(str(tmp_path), node))
+    eng = TsdfEngine(cfg, 96, 72, cams[0].K)
+    eng.set_gt_poses([c.c2w for c in cams])
+    eng.turn_off_tracking()
+    for cam in cams:
+        pose = eng.process_frame(cam.image, cam.depth)
+        np.testing.assert_allclose(pose, cam.c2w)
+
+    maps = eng.run_raycast(cams[1].c2w)
+    d = np.asarray(maps["depth_map"])[..., 0]
+    assert (d > 0).mean() > 0.8
+
+    eng.save_scene(str(tmp_path / "engine"))
+    eng2 = TsdfEngine(cfg, 96, 72, cams[0].K)
+    eng2.load_scene(str(tmp_path / "engine"))
+    assert int(eng2.vol.n_blocks) == int(eng.vol.n_blocks)
+    maps2 = eng2.run_raycast(cams[1].c2w)
+    np.testing.assert_allclose(
+        np.asarray(maps2["depth_map"]), np.asarray(maps["depth_map"]), atol=1e-6
+    )
+    eng.save_mesh(str(tmp_path / "mesh.ply"))
+    from gps_slam_tpu.utils.io import read_mesh_ply
+
+    v, c, f = read_mesh_ply(str(tmp_path / "mesh.ply"))
+    assert v.shape[0] > 100 and c is not None
