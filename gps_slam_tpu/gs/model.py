@@ -1,0 +1,337 @@
+"""Gaussian model — forward dispatch, loss, training step, spawn/prune.
+
+TPU re-expression of RawGaussianModel / SLAMGaussianModel
+(src/raw_gs_model.cpp, slam/slam_gs_model.cpp): the `ges` render path
+(gesForward, raw_gs_model.cpp:188-367), loss (computeLoss :369-417),
+SLAM-mode Gaussian spawning from masked pixels (addGaussians,
+slam_gs_model.cpp:5-56), redundancy pruning (slam_pipeline.cpp:564-586),
+and the per-window Adam optimization loop (localOptimize,
+slam_pipeline.cpp:195-291) compiled as one scanned jit.
+
+Everything device-side is functional: `GaussianPool` + optax state thread
+through jitted steps; the `GaussianModel` class is a thin host wrapper.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..utils.se3 import pose_inv
+from . import losses, optim, params as pmod, projection, rasterize, sh
+from .params import GaussianPool
+
+
+class RenderStatics(NamedTuple):
+    """Static (compile-time) render settings, from MODEL config
+    (raw_gs_model.cpp:11-40 loadConfig)."""
+
+    width: int
+    height: int
+    sh_degree: int
+    tile_size: int
+    max_gs_radii: int
+    delta_depth: float
+    use_exposure: bool
+    visible_cap: int
+    tiles_per_gaussian_cap: int
+    tile_cap: int
+    eps2d: float = 0.3
+    near_plane: float = 0.01
+    far_plane: float = 1e10
+    radius_clip: float = 0.0
+
+
+def ges_forward(
+    params: dict,
+    alive: jax.Array,
+    c2w: jax.Array,        # [4, 4] camera-to-world (c2w_slam)
+    K: jax.Array,          # [3, 3]
+    ref_depth: jax.Array,  # [H, W] SDF raycast depth (0 = no surface)
+    base_color: jax.Array, # [H, W, 3] SDF raycast color
+    cam_id: jax.Array,     # int32 scalar (exposure index)
+    st: RenderStatics,
+) -> dict:
+    """The GES render (gesForward, raw_gs_model.cpp:188-367):
+    project -> SH -> bin -> weighted-sum rasterize -> blend with the SDF
+    base layer."""
+    viewmat = pose_inv(c2w)
+    ref = ref_depth
+    ref_clamped = jnp.where(ref < 0.01, 1000.0, ref)  # :205-208
+
+    proj = projection.project(
+        params["means"], params["quats"], jnp.exp(params["scales"]),
+        viewmat, K, st.width, st.height,
+        eps2d=st.eps2d, near_plane=st.near_plane, far_plane=st.far_plane,
+        radius_clip=st.radius_clip, valid=alive,
+    )
+    radii = proj.radii
+    if st.max_gs_radii > 0:
+        radii = jnp.minimum(radii, st.max_gs_radii)  # :241-242
+
+    # SH -> rgb (:250-257)
+    coeffs = jnp.concatenate(
+        [params["features_dc"][:, None, :], params["features_rest"]], axis=1
+    )
+    viewdirs = params["means"] - c2w[:3, 3]
+    colors = sh.eval_sh(st.sh_degree, viewdirs, coeffs, mask=radii > 0)
+    colors = jnp.maximum(colors + 0.5, 0.0)
+
+    # depth blended like a color channel (:286)
+    colors4 = jnp.concatenate([colors, proj.depths[:, None]], axis=1)
+
+    tile_w = -(-st.width // st.tile_size)
+    tile_h = -(-st.height // st.tile_size)
+    bins = rasterize.bin_gaussians(
+        proj.means2d, radii, st.tile_size, tile_w, tile_h,
+        st.visible_cap, st.tiles_per_gaussian_cap, st.tile_cap,
+    )
+    raw, weight_sum = rasterize.ges_rasterize(
+        proj.means2d, proj.conics, colors4,
+        jax.nn.sigmoid(params["opacities"][:, 0]),
+        bins, ref_clamped, proj.depths, st.delta_depth,
+        st.width, st.height, st.tile_size,
+    )
+
+    # SDF base-layer blend (:317-326)
+    raw_rgb, raw_depth = raw[..., :3], raw[..., 3]
+    rgb = (raw_rgb + base_color) / (weight_sum[..., None] + 1.0)
+    depth_w = (ref > 0).astype(jnp.float32)
+    den = weight_sum + depth_w
+    depth = jnp.where(den > 0, (raw_depth + ref * depth_w) / jnp.maximum(den, 1e-12), 0.0)
+
+    if st.use_exposure:
+        E = params["exposure"].shape[0]
+        idx = jnp.clip(cam_id, 0, E - 1)
+        exp = params["exposure"][idx]
+        rgb_exposed = rgb @ exp[:, :3].T + exp[:, 3]
+        rgb = jnp.where(cam_id < E, rgb_exposed, rgb)
+
+    return {
+        "rgb": rgb,
+        "depth": depth,
+        "alpha": weight_sum,
+        "radii": radii,
+        "means2d": proj.means2d,
+        "n_pairs": bins.n_pairs,
+        "n_tile_overflow": bins.n_tile_overflow,
+        "n_span_overflow": bins.n_span_overflow,
+    }
+
+
+# ---------------------------------------------------------------------------
+# jitted training step over an optimization camera set
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(0, 1))
+def local_optimize(
+    pool: GaussianPool,
+    opt_state,
+    cam_batch: dict,      # stacked [M, ...]: c2w, K, gt_rgb, ref_depth, base_color, cam_id
+    iter_cam_idx: jax.Array,  # int32 [iters] which camera each iteration uses
+    st: RenderStatics,
+    tx_cfg: tuple,        # hashable ModelConfig-derived tuple for optimizer
+    max_iterations: int,
+    ssim_weight: float,
+) -> tuple[GaussianPool, object, dict]:
+    """The localOptimize loop (slam_pipeline.cpp:195-291): `iters` Adam
+    steps, each on one random camera from the optimization set, compiled as
+    one lax.scan."""
+    tx = optim.make_optimizer(_TxCfg(*tx_cfg), max_iterations)
+
+    def step(carry, cam_i):
+        prms, ostate = carry
+
+        def loss_fn(p):
+            res = ges_forward(
+                p, pool.alive,
+                cam_batch["c2w"][cam_i], cam_batch["K"][cam_i],
+                cam_batch["ref_depth"][cam_i], cam_batch["base_color"][cam_i],
+                cam_batch["cam_id"][cam_i], st,
+            )
+            loss = losses.compute_loss(
+                res["rgb"], res["depth"], cam_batch["gt_rgb"][cam_i],
+                None, ssim_weight, 0.0,
+            )
+            return loss["total"], loss
+
+        (lval, ldict), grads = jax.value_and_grad(loss_fn, has_aux=True)(prms)
+        updates, ostate = tx.update(grads, ostate, prms)
+        prms = optax.apply_updates(prms, updates)
+        return (prms, ostate), lval
+
+    (prms, opt_state), loss_hist = jax.lax.scan(
+        step, (pool.params, opt_state), iter_cam_idx
+    )
+    return pool.with_params(prms), opt_state, {"loss_hist": loss_hist}
+
+
+class _TxCfg(NamedTuple):
+    means_lr: float
+    means_lr_final: float
+    scales_lr: float
+    quats_lr: float
+    featuresDc_lr: float
+    featuresRest_lr: float
+    opacities_lr: float
+    exposure_lr: float
+    use_exposure: bool
+
+
+def tx_cfg_tuple(mcfg) -> tuple:
+    return tuple(
+        _TxCfg(
+            mcfg.means_lr, mcfg.means_lr_final, mcfg.scales_lr, mcfg.quats_lr,
+            mcfg.featuresDc_lr, mcfg.featuresRest_lr, mcfg.opacities_lr,
+            mcfg.exposure_lr, mcfg.use_exposure,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# spawn / prune (device-side)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8), donate_argnums=(0,))
+def add_gaussians(
+    pool: GaussianPool,
+    vertex_map: jax.Array,   # [H, W, 3] world
+    color_map: jax.Array,    # [H, W, 3]
+    normal_map: jax.Array,   # [H, W, 3]
+    sample_mask: jax.Array,  # [H, W] bool
+    sample_ratio: float,
+    max_new: int,
+    default_opacity: float,
+    scale_limits: tuple,     # (min_init_scale, max_init_scale)
+    rng_key: jax.Array = None,
+) -> tuple[GaussianPool, jax.Array]:
+    """SLAM-mode spawning (SLAMGaussianModel::addGaussians,
+    slam_gs_model.cpp:5-56): take `sample_ratio` of masked pixels at random,
+    init attributes from vertex/color/normal maps, scatter into the pool.
+    Returns (pool, n_added)."""
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    flat_mask = sample_mask.reshape(-1)
+    n_valid = jnp.sum(flat_mask.astype(jnp.int32))
+    # random priority per pixel; masked-out pixels get +inf so the top
+    # `max_new` candidates are a uniform sample of the masked set
+    prio = jax.random.uniform(rng_key, flat_mask.shape)
+    prio = jnp.where(flat_mask, prio, jnp.inf)
+    idx = jnp.argsort(prio)[:max_new]
+    n_select = jnp.minimum(
+        (n_valid.astype(jnp.float32) * sample_ratio).astype(jnp.int32), max_new
+    )
+    xyz = vertex_map.reshape(-1, 3)[idx]
+    rgb = color_map.reshape(-1, 3)[idx]
+    nrm = normal_map.reshape(-1, 3)[idx]
+    # park non-selected rows far away so they don't contaminate the kNN
+    # scale estimate of the real samples
+    taken = (jnp.arange(max_new) < n_select)[:, None]
+    xyz = jnp.where(taken, xyz, 1e6)
+    min_s, max_s = scale_limits
+    attrs = pmod.init_attributes(
+        xyz, rgb, nrm, pool.sh_degree, default_opacity, max_s, min_s
+    )
+    return pmod.add(pool, attrs, n_select), n_select
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def remove_redundant(
+    pool: GaussianPool,
+    small_scale_thres: jax.Array,
+    large_scale_thres: jax.Array,
+    low_opac_thres: jax.Array,
+) -> tuple[GaussianPool, jax.Array]:
+    """(removeRedundantGs, slam_pipeline.cpp:564-586)."""
+    max_scale = jnp.exp(pool.scales).max(axis=-1)
+    opac = jax.nn.sigmoid(pool.opacities[:, 0])
+    mask = (
+        (max_scale < small_scale_thres)
+        | (max_scale > large_scale_thres)
+        | (opac < low_opac_thres)
+    ) & pool.alive
+    n = jnp.sum(mask.astype(jnp.int32))
+    return pmod.remove(pool, mask), n
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+class GaussianModel:
+    """Host-side facade holding pool + config (RawGaussianModel role)."""
+
+    def __init__(self, cfg: Config, width: int, height: int, exposure_num: int = 0):
+        m = cfg.model
+        self.cfg = cfg
+        self.pool = pmod.create(cfg.tpu.gaussian_capacity, m.sh_degree, exposure_num)
+        self.statics = RenderStatics(
+            width=width, height=height, sh_degree=m.sh_degree,
+            tile_size=cfg.tpu.tile_size, max_gs_radii=m.max_gs_radii,
+            delta_depth=m.delta_depth, use_exposure=m.use_exposure,
+            visible_cap=min(cfg.tpu.gaussian_capacity, cfg.tpu.max_isects // 8),
+            tiles_per_gaussian_cap=cfg.tpu.tiles_per_gaussian_cap,
+            tile_cap=cfg.tpu.tile_gaussian_cap,
+        )
+        self.tx = optim.make_optimizer(m, cfg.pipe.max_iterations)
+        self.opt_state = None
+        self._rng = jax.random.PRNGKey(cfg.dev_id)
+
+    @property
+    def num_gaussians(self) -> int:
+        return int(self.pool.n_alive)
+
+    def init_optimizers(self) -> None:
+        """Fresh Adam state (the reference re-inits every window,
+        slam_pipeline.cpp:202)."""
+        self.opt_state = self.tx.init(self.pool.params)
+
+    def forward(self, c2w, K, ref_depth, base_color, cam_id: int = -1) -> dict:
+        return ges_forward(
+            self.pool.params, self.pool.alive,
+            jnp.asarray(c2w), jnp.asarray(K),
+            jnp.asarray(ref_depth).reshape(self.statics.height, self.statics.width),
+            jnp.asarray(base_color), jnp.asarray(cam_id, jnp.int32),
+            self.statics,
+        )
+
+    def next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, model_dir: str) -> None:
+        """model.pt-equivalent npz + 3DGS-viewer binary PLY
+        (saveTensor raw_gs_param.cpp:220-238 / savePly :159-218)."""
+        os.makedirs(model_dir, exist_ok=True)
+        alive = np.asarray(self.pool.alive)
+        sel = np.nonzero(alive)[0]
+        arrs = {k: np.asarray(v)[sel] if v.shape[0] == alive.shape[0] else np.asarray(v)
+                for k, v in self.pool.params.items()}
+        np.savez(os.path.join(model_dir, "model.npz"), **arrs)
+        from ..utils import io as uio
+
+        uio.save_gaussian_ply(
+            os.path.join(model_dir, "point_cloud.ply"),
+            arrs["means"], arrs["scales"], arrs["quats"],
+            arrs["features_dc"], arrs["features_rest"], arrs["opacities"],
+        )
+
+    def load(self, model_dir: str) -> None:
+        z = np.load(os.path.join(model_dir, "model.npz"))
+        n = z["means"].shape[0]
+        attrs = {k: jnp.asarray(z[k]) for k in
+                 ("means", "scales", "quats", "features_dc", "features_rest", "opacities")}
+        self.pool = pmod.create(self.pool.capacity, self.pool.sh_degree,
+                                z["exposure"].shape[0] if "exposure" in z else 0)
+        if "exposure" in z:
+            self.pool = self.pool.replace(exposure=jnp.asarray(z["exposure"]))
+        self.pool = pmod.add(self.pool, attrs, jnp.asarray(n, jnp.int32))

@@ -26,6 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import mm
 from . import hash as vhash
 from .volume import BLOCK, BLOCK_VOL, TsdfVolume
 
@@ -68,8 +69,8 @@ def alloc_candidates(
     start_cam = pt_cam * (1.0 - mu / norm)
     end_cam = pt_cam * (1.0 + mu / norm)
     R, t = c2w[:3, :3], c2w[:3, 3]
-    start_w = (start_cam @ R.T + t) * one_over_block
-    end_w = (end_cam @ R.T + t) * one_over_block
+    start_w = (mm(start_cam, R.T) + t) * one_over_block
+    end_w = (mm(end_cam, R.T) + t) * one_over_block
     step = (end_w - start_w) / max(n_steps - 1, 1)
     keys = []
     for s in range(n_steps):
@@ -104,7 +105,7 @@ def visible_blocks(
         dtype=jnp.float32,
     ) * (p.voxel_size * BLOCK)
     pts = corner[:, None, :] + offs[None, :, :]  # [B, 8, 3]
-    pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
+    pc = mm(pts, w2c[:3, :3].T) + w2c[:3, 3]
     u, v, z = _project(pc, fx, fy, cx, cy)
     margin_u, margin_v = 0.125 * width, 0.125 * height
     ok = (
@@ -159,7 +160,7 @@ def fuse_frame(
 
     # 2. visible list
     w2c_R = c2w[:3, :3].T
-    w2c_t = -w2c_R @ c2w[:3, 3]
+    w2c_t = -mm(w2c_R, c2w[:3, 3])
     w2c = jnp.concatenate(
         [jnp.concatenate([w2c_R, w2c_t[:, None]], axis=1),
          jnp.array([[0.0, 0.0, 0.0, 1.0]])], axis=0
@@ -173,7 +174,7 @@ def fuse_frame(
     #    Shared.h:8-140)
     keys = vol.block_coords[vis_safe]
     pos_w = _block_voxel_positions(keys, p.voxel_size)       # [V, 512, 3]
-    pc = pos_w @ w2c_R.T + w2c_t                             # camera space
+    pc = mm(pos_w, w2c_R.T) + w2c_t                          # camera space
     u, v, z = _project(pc, fx, fy, cx, cy)
     in_img = (
         (z > 0)

@@ -24,6 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import mm
 from . import hash as vhash
 from .volume import (
     BLOCK,
@@ -60,7 +61,7 @@ def expected_depth_range(
         dtype=jnp.float32,
     ) * (p.voxel_size * BLOCK)
     pts = corner[:, None, :] + offs[None, :, :]
-    pc = pts @ w2c[:3, :3].T + w2c[:3, 3]  # [V, 8, 3]
+    pc = mm(pts, w2c[:3, :3].T) + w2c[:3, 3]  # [V, 8, 3]
     z = pc[..., 2]
     zc = jnp.clip(z, p.frustum_min, p.frustum_max)
     u = fx * pc[..., 0] / jnp.maximum(z, 1e-6) + cx
@@ -119,7 +120,7 @@ def raycast(
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     R, t = c2w[:3, :3], c2w[:3, 3]
     w2c_R = R.T
-    w2c_t = -R.T @ t
+    w2c_t = -mm(R.T, t)
     w2c = jnp.concatenate(
         [jnp.concatenate([w2c_R, w2c_t[:, None]], 1),
          jnp.array([[0.0, 0.0, 0.0, 1.0]])], 0
@@ -133,7 +134,7 @@ def raycast(
     dx = jnp.broadcast_to((i - cx) / fx, (height, width))
     dy = jnp.broadcast_to((j - cy) / fy, (height, width))
     dir_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)  # [H, W, 3]
-    dir_w = dir_cam @ R.T  # world direction (unnormalized; z_cam = 1 scaling)
+    dir_w = mm(dir_cam, R.T)  # world direction (unnormalized; z_cam = 1 scaling)
 
     if vis_idx is not None:
         zmin, zmax = expected_depth_range(
@@ -200,7 +201,7 @@ def raycast(
     color = jnp.where(hit[..., None], read_color_trilinear(vol, pt), 0.0)
 
     # camera-space depth of the hit (slam_pipeline.cpp:396-403)
-    pc = vertex @ w2c_R.T + w2c_t
+    pc = mm(vertex, w2c_R.T) + w2c_t
     depth = jnp.where(hit, pc[..., 2], 0.0)[..., None]
 
     # SDF-gradient normals in world space (computeNormalAndAngle,

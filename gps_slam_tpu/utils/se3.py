@@ -22,7 +22,7 @@ def pose_inv(c2w: jax.Array) -> jax.Array:
     R = c2w[..., :3, :3]
     t = c2w[..., :3, 3:4]
     Rt = jnp.swapaxes(R, -1, -2)
-    t_inv = -Rt @ t
+    t_inv = -jnp.matmul(Rt, t, precision=jax.lax.Precision.HIGHEST)
     top = jnp.concatenate([Rt, t_inv], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=c2w.dtype), (*top.shape[:-2], 1, 4)
@@ -147,7 +147,7 @@ def se3_exp(xi: jax.Array) -> jax.Array:
 def rot_angle_deg(prev_R: jax.Array, curr_R: jax.Array) -> jax.Array:
     """Angle (degrees) between two rotations (reference
     src/tensor_math.cpp:302-316 rotCompare)."""
-    diff = prev_R.T @ curr_R
+    diff = jnp.matmul(prev_R.T, curr_R, precision=jax.lax.Precision.HIGHEST)
     cos_theta = jnp.clip((jnp.trace(diff) - 1.0) * 0.5, -1.0, 1.0)
     return jnp.rad2deg(jnp.arccos(cos_theta))
 
@@ -203,4 +203,4 @@ def compute_normal_map(vertex_map: jax.Array) -> jax.Array:
 
 def transform_points(points: jax.Array, T: jax.Array) -> jax.Array:
     """Apply a 4x4 transform to [..., 3] points."""
-    return points @ T[:3, :3].T + T[:3, 3]
+    return jnp.matmul(points, T[:3, :3].T, precision=jax.lax.Precision.HIGHEST) + T[:3, 3]

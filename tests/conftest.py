@@ -3,12 +3,19 @@ paths compile + execute without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the environment presets JAX_PLATFORMS=axon (real TPU) and
+# the axon plugin ignores the JAX_PLATFORMS filter, so additionally pin the
+# default device to CPU after import.  Tests run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import numpy as np
 import pytest

@@ -1,0 +1,120 @@
+"""End-to-end Gaussian optimization: spawn Gaussians on a synthetic frame
+and check that the local-window Adam loop drives the photometric loss down
+(the offline analog of SLAMPipeline::localOptimize)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gps_slam_tpu.config import Config
+from gps_slam_tpu.data import synthetic
+from gps_slam_tpu.gs import losses, model as gmodel
+from gps_slam_tpu.gs.model import GaussianModel
+
+
+def _cfg(tmp="/tmp/x"):
+    node = {
+        "input_dir": "x", "image_path": "c", "pose_path": "c", "depth_path": "d",
+        "pcd_name": "n", "depth_scale": 6553.5, "scene_scale": 1.0,
+        "start_frame": 0, "end_frame": 3, "frame_step": 1,
+        "intrinsics": [120.0, 120.0, 79.5, 59.5],
+        "image_shape": [160, 120], "downscale_factor": 1, "test_split_interval": -1,
+    }
+    return Config.from_dict(synthetic.default_config_dict(tmp, node))
+
+
+def test_spawn_and_optimize_reduces_loss(tmp_path):
+    cams = synthetic.make_cameras(n_frames=3, width=160, height=120)
+    cfg = _cfg(str(tmp_path))
+    m = GaussianModel(cfg, 160, 120)
+
+    cam = cams[0]
+    fm = cam.get_frame_maps()
+    # spawn from every 3rd pixel (mask), no SDF base (pure gaussian fit)
+    mask = jnp.zeros((120, 160), bool).at[::2, ::2].set(True)
+    m.pool, n_added = gmodel.add_gaussians(
+        m.pool, fm["vertex_map"], fm["color_map"], fm["normal_map"], mask,
+        0.25, 2048, cfg.model.default_opacities,
+        (cfg.model.min_init_scale, cfg.model.max_init_scale), m.next_rng(),
+    )
+    assert int(n_added) > 500
+    assert int(m.pool.n_alive) == int(n_added)
+
+    # optimization batch: one camera, empty SDF layer
+    zero_depth = jnp.zeros((120, 160))
+    black = jnp.zeros((120, 160, 3))
+    batch = {
+        "c2w": jnp.asarray(cam.c2w)[None],
+        "K": jnp.asarray(cam.K)[None],
+        "gt_rgb": jnp.asarray(cam.image)[None],
+        "ref_depth": zero_depth[None],
+        "base_color": black[None],
+        "cam_id": jnp.zeros((1,), jnp.int32),
+    }
+    m.init_optimizers()
+    res0 = m.forward(cam.c2w, cam.K, zero_depth, black)
+    loss0 = float(jnp.abs(res0["rgb"] - batch["gt_rgb"][0]).mean())
+
+    idxs = jnp.zeros((60,), jnp.int32)
+    m.pool, m.opt_state, aux = gmodel.local_optimize(
+        m.pool, m.opt_state, batch, idxs, m.statics,
+        gmodel.tx_cfg_tuple(cfg.model), cfg.pipe.max_iterations, 0.0,
+    )
+    hist = np.asarray(aux["loss_hist"])
+    assert hist[-1] < hist[0] * 0.7, hist[[0, -1]]
+
+    res1 = m.forward(cam.c2w, cam.K, zero_depth, black)
+    loss1 = float(jnp.abs(res1["rgb"] - batch["gt_rgb"][0]).mean())
+    assert loss1 < loss0 * 0.75, (loss0, loss1)
+    # overflow counters exposed
+    assert int(res1["n_pairs"]) > 0
+
+
+def test_model_save_load_roundtrip(tmp_path):
+    cams = synthetic.make_cameras(n_frames=1, width=160, height=120)
+    cfg = _cfg(str(tmp_path))
+    m = GaussianModel(cfg, 160, 120)
+    fm = cams[0].get_frame_maps()
+    mask = jnp.zeros((120, 160), bool).at[::4, ::4].set(True)
+    m.pool, _ = gmodel.add_gaussians(
+        m.pool, fm["vertex_map"], fm["color_map"], fm["normal_map"], mask,
+        1.0, 512, 0.5, (-1.0, 0.05), m.next_rng(),
+    )
+    zd, bc = jnp.zeros((120, 160)), jnp.zeros((120, 160, 3))
+    r0 = m.forward(cams[0].c2w, cams[0].K, zd, bc)
+
+    m.save(str(tmp_path / "gs_model"))
+    assert (tmp_path / "gs_model" / "point_cloud.ply").exists()
+
+    m2 = GaussianModel(cfg, 160, 120)
+    m2.load(str(tmp_path / "gs_model"))
+    assert m2.num_gaussians == m.num_gaussians
+    r1 = m2.forward(cams[0].c2w, cams[0].K, zd, bc)
+    np.testing.assert_allclose(
+        np.asarray(r0["rgb"]), np.asarray(r1["rgb"]), atol=1e-5
+    )
+
+
+def test_remove_redundant(tmp_path):
+    cfg = _cfg(str(tmp_path))
+    m = GaussianModel(cfg, 160, 120)
+    from gps_slam_tpu.gs import params as pmod
+
+    n = 20
+    attrs = pmod.init_attributes(
+        jnp.asarray(np.random.default_rng(0).normal(size=(n, 3)).astype(np.float32)),
+        jnp.full((n, 3), 0.5), None, cfg.model.sh_degree, 0.5, 0.05, -1.0,
+    )
+    # make some too small / too large / too transparent
+    attrs["scales"] = attrs["scales"].at[0:3].set(jnp.log(1e-5))
+    attrs["scales"] = attrs["scales"].at[3:6].set(jnp.log(10.0))
+    attrs["opacities"] = attrs["opacities"].at[6:9].set(-20.0)
+    m.pool = pmod.add(m.pool, attrs, jnp.asarray(n, jnp.int32))
+    m.pool, removed = gmodel.remove_redundant(
+        m.pool,
+        jnp.asarray(cfg.pipe.remove_small_scale_thres),
+        jnp.asarray(cfg.pipe.remove_large_scale_thres),
+        jnp.asarray(cfg.pipe.remove_low_opac_thres),
+    )
+    assert int(removed) == 9
+    assert int(m.pool.n_alive) == n - 9
