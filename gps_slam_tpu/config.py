@@ -151,8 +151,14 @@ class PipeConfig:
         v = _req(n, "vis_configs", "PIPE")
         k = _req(n, "keyframe_sample_configs", "PIPE")
         r = _req(n, "remove_configs", "PIPE")
+        # the reference's gps_slam configs spell this key `train_method`
+        # (configs/release/gps_slam/*.yaml) while replica uses `train_mode`
+        # — accept both
+        train_mode = n.get("train_mode", n.get("train_method"))
+        if train_mode is None:
+            raise KeyError("missing required config key 'train_mode' in section 'PIPE'")
         return PipeConfig(
-            train_mode=str(_req(n, "train_mode", "PIPE")),
+            train_mode=str(train_mode),
             max_iterations=int(_req(n, "max_iterations", "PIPE")),
             enable_densify=bool(_req(n, "enable_densify", "PIPE")),
             eval_after_train=bool(_req(n, "eval_after_train", "PIPE")),
@@ -276,6 +282,7 @@ class TpuConfig:
     raycast_max_steps: int = 96               # sphere-trace step budget
     max_weight: int = 100                     # TSDF running-average clamp (ITM maxW)
     alloc_steps: int = 4                      # mu-band march steps for allocation
+    max_new_gaussians: int = 2 ** 14          # spawn cap per optimization window
 
     @staticmethod
     def from_node(n: dict | None) -> "TpuConfig":

@@ -53,8 +53,11 @@ def eval_sh(degree: int, dirs: jax.Array, coeffs: jax.Array,
     Returns colors [N, 3] (pre-offset; callers add 0.5 and clamp, see
     raw_gs_model.cpp:257).
     """
-    norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    d = dirs / jnp.maximum(norm, 1e-12)
+    # eps inside the rsqrt keeps the gradient finite at dirs == 0 (dead
+    # pool slots sit at the origin; jnp.linalg.norm would emit NaN
+    # cotangents there even under the visibility mask)
+    norm2 = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+    d = dirs * jax.lax.rsqrt(norm2 + 1e-20)
     x, y, z = d[..., 0:1], d[..., 1:2], d[..., 2:3]
 
     res = C0 * coeffs[:, 0]

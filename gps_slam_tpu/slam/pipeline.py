@@ -1,0 +1,380 @@
+"""SLAM orchestration — the online loop coupling TSDF fusion with targeted
+Gaussian refinement.
+
+Re-expression of the reference SLAMPipeline (slam/slam_pipeline.cpp):
+per frame: TSDF fuse + pose estimate -> local-window / keyframe
+bookkeeping (updateFrameList :319-360) -> every `local_opt_interval`
+frames: raycast the window (localFrameRaycast :417-448) and sampled
+keyframes (keyFrameRaycast :528-561), spawn Gaussians where color error is
+high (initNewGaussians :450-526), run `local_opt_iters` Adam steps
+(localOptimize :195-291), prune (removeRedundantGs :564-586).  Emits the
+reference's `time_log.txt` format (:144-172) so run/read_results.py-style
+tooling keeps working, plus TensorBoard scalars (src/pipeline.cpp:130-152).
+
+TPU shape discipline: the optimization camera set is padded to the static
+size window_length + keyframe_select_max; iteration camera indices are
+drawn host-side over the valid prefix, so the 20-step Adam scan compiles
+exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.reader import DatasetReader, RandomSelector
+from ..gs import losses, model as gmodel
+from ..gs.model import GaussianModel
+from ..tsdf.engine import TsdfEngine
+from ..utils import io as uio, vis
+from ..utils.camera import Camera
+from ..utils.se3 import compute_normal_map
+
+
+class SLAMPipeline:
+    def __init__(self, cfg: Config, tsdf_engine: TsdfEngine, workspace_dir: str,
+                 is_train: bool = True):
+        self.cfg = cfg
+        self.pipe = cfg.pipe
+        self.engine = tsdf_engine
+        self.workspace_dir = workspace_dir
+        self.eval_path = workspace_dir + cfg.pipe.eval_path
+        self.model_path = workspace_dir + cfg.pipe.model_path
+        self.log_path = workspace_dir + cfg.pipe.log_path
+        self.curr_iter = 0
+        self.curr_frame_id = 0
+        self.curr_cam: Camera | None = None
+        self.localframe_cam_window: list[Camera] = []
+        self.localframe_raycast_window: list[dict] = []
+        self.keyframe_cam_list: list[Camera] = []
+        self.opt_cam_list: list[Camera] = []
+        self.opt_raycast_list: list[dict] = []
+        self.keyframe_loss_dict: dict[str, list[float]] = {}
+        self._rng = np.random.default_rng(cfg.dev_id + 1)
+        self._tb = None
+        if is_train:
+            os.makedirs(self.log_path, exist_ok=True)
+            os.makedirs(
+                os.path.join(workspace_dir, cfg.pipe.tsdf.saved_images), exist_ok=True
+            )
+            os.makedirs(os.path.join(workspace_dir, "before_opt"), exist_ok=True)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(self.log_path)
+            except Exception:
+                self._tb = None
+        self.scene_scale = 1.0
+        # timing accumulators (LOG_PIPELINE_TIME equivalents)
+        self.t_fusion = self.t_local_raycast = self.t_key_raycast = 0.0
+        self.t_init_gs = self.t_opt = self.t_remove = 0.0
+
+    # ------------------------------------------------------------------ loop
+
+    def slam_train_cams(self, model: GaussianModel, cams: list[Camera]) -> None:
+        """SLAMTrainCams (slam_pipeline.cpp:52-173)."""
+        p = self.pipe
+        total = len(cams)
+        t_start = time.monotonic()
+        for i, cam in enumerate(cams):
+            t0 = time.monotonic()
+            self.curr_frame_id = i
+            pose = self.engine.process_frame(cam.image, cam.depth)
+            jax.block_until_ready(self.engine.vol.n_blocks)
+            cam.c2w_slam = np.asarray(pose)
+            self.curr_cam = cam
+            self.update_frame_list()
+            self.t_fusion += (time.monotonic() - t0) * 1000.0
+
+            if self.cfg.work_mode == "recon":
+                continue
+            if i % p.local_opt_interval == 0 and i > 0:
+                t1 = time.monotonic()
+                self.local_frame_raycast()
+                t2 = time.monotonic()
+                self.key_frame_raycast()
+                t3 = time.monotonic()
+                self.init_new_gaussians(model, self.localframe_raycast_window[-1])
+                t4 = time.monotonic()
+                self.local_optimize(model)
+                t5 = time.monotonic()
+                self.remove_redundant(model)
+                jax.block_until_ready(model.pool.n_alive)
+                t6 = time.monotonic()
+                self.t_local_raycast += (t2 - t1) * 1000
+                self.t_key_raycast += (t3 - t2) * 1000
+                self.t_init_gs += (t4 - t3) * 1000
+                self.t_opt += (t5 - t4) * 1000
+                self.t_remove += (t6 - t5) * 1000
+
+        total_ms = (time.monotonic() - t_start) * 1000.0
+        self.write_time_log(model, total, total_ms)
+
+    def write_time_log(self, model: GaussianModel, total_frames: int,
+                       total_ms: float) -> None:
+        """[PIPELINE AVG TIME] line (slam_pipeline.cpp:166-172)."""
+        n = max(total_frames, 1)
+        fps = total_frames / (total_ms / 1000.0) if total_ms > 0 else 0.0
+        line = (
+            "[PIPELINE AVG TIME] GS num: %d, per frame fusion time: %f, "
+            "localFrameRaycast time: %f, keyFrameRaycast time: %f, "
+            "initNewGaussians time: %f, localOptimize time: %f, FPS: %f\n"
+            % (
+                model.num_gaussians, self.t_fusion / n, self.t_local_raycast / n,
+                self.t_key_raycast / n, self.t_init_gs / n, self.t_opt / n, fps,
+            )
+        )
+        mem_mb = 0
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            mem_mb = int(stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) // 2**20)
+        except Exception:
+            pass
+        print(line, end="")
+        print(f"GPU memory usage: {mem_mb} MB")
+        with open(os.path.join(self.workspace_dir, "time_log.txt"), "w") as f:
+            f.write(line)
+            f.write(f"GPU memory usage: {mem_mb} MB\n")
+
+    # --------------------------------------------------------------- windows
+
+    def update_frame_list(self) -> None:
+        """(updateFrameList, slam_pipeline.cpp:319-360)."""
+        p = self.pipe
+        if self.curr_frame_id == 0:
+            return
+        if self.curr_frame_id % p.localframe_cam_window_interval == 0:
+            self.localframe_cam_window.append(self.curr_cam)
+            if len(self.localframe_cam_window) == p.localframe_cam_window_length + 1:
+                self.localframe_cam_window.pop(0)
+        is_keyframe = not self.keyframe_cam_list
+        if not is_keyframe:
+            last = self.keyframe_cam_list[-1]
+            prev_R, prev_t = last.c2w_slam[:3, :3], last.c2w_slam[:3, 3]
+            cur_R, cur_t = self.curr_cam.c2w_slam[:3, :3], self.curr_cam.c2w_slam[:3, 3]
+            cos = np.clip((np.trace(prev_R.T @ cur_R) - 1) / 2, -1, 1)
+            theta = np.degrees(np.arccos(cos))
+            trans = float(np.linalg.norm(prev_t - cur_t))
+            if theta > p.keyframe_theta_thres or trans > p.keyframe_trans_thres:
+                is_keyframe = True
+        if is_keyframe:
+            self.keyframe_cam_list.append(self.curr_cam)
+            self.keyframe_loss_dict[self.curr_cam.get_frame_id()] = [
+                0.1, float(self.curr_frame_id), 0.0, 0.0, 0.0,
+            ]
+
+    # --------------------------------------------------------------- raycast
+
+    def run_raycast_by_cam(self, cam: Camera, use_cam_depth: bool = False) -> dict:
+        """(runRaycastByCam, slam_pipeline.cpp:362-415): raycast with the
+        engine-recorded pose when available, else the camera's gt pose."""
+        if self.engine.cam_poses and 0 <= cam.id < len(self.engine.cam_poses):
+            pose = self.engine.cam_poses[cam.id]
+        else:
+            pose = cam.c2w
+        maps = self.engine.run_raycast(pose, cam.K, cam.width, cam.height)
+        res = dict(maps)
+        if use_cam_depth:
+            res["depth_map"] = jnp.asarray(cam.depth)
+        return res
+
+    def local_frame_raycast(self) -> None:
+        """(localFrameRaycast :417-448)."""
+        self.localframe_raycast_window = [
+            self.run_raycast_by_cam(c, False) for c in self.localframe_cam_window
+        ]
+
+    def key_frame_raycast(self) -> None:
+        """(keyFrameRaycast :528-561): opt set = local window + up to
+        keyframe_select_max randomly sampled keyframes."""
+        self.opt_cam_list = list(self.localframe_cam_window)
+        self.opt_raycast_list = list(self.localframe_raycast_window)
+        n_sel = min(self.pipe.keyframe_select_max, len(self.keyframe_cam_list))
+        if n_sel > 0:
+            sel = self._rng.permutation(len(self.keyframe_cam_list))[:n_sel]
+            for k in sel:
+                cam = self.keyframe_cam_list[int(k)]
+                self.opt_cam_list.append(cam)
+                self.opt_raycast_list.append(self.run_raycast_by_cam(cam, False))
+
+    # ----------------------------------------------------------------- spawn
+
+    def init_new_gaussians(self, model: GaussianModel, raycast_maps: dict) -> None:
+        """(initNewGaussians :450-526)."""
+        p = self.pipe
+        cam = self.curr_cam
+        depth = raycast_maps["depth_map"][..., 0]
+        vertex = raycast_maps["vertex_map"]
+        color = raycast_maps["color_map"]
+        gt = jnp.asarray(cam.image)
+
+        valid_depth = (depth > p.depth_vis_min) & (depth < p.depth_vis_max)
+        valid_vertex = jnp.abs(vertex).sum(-1) > 0
+        valid = valid_depth & valid_vertex
+
+        if model.num_gaussians == 0:
+            color_error = jnp.abs(color - gt).mean(-1)
+            mask = (color_error > p.color_error_thres) & valid
+        else:
+            res = model.forward(cam.c2w_slam, cam.K, depth, color)
+            color_error = jnp.abs(res["rgb"] - gt).mean(-1)
+            mask = (
+                (color_error > p.color_error_thres)
+                & valid
+                & (res["alpha"] < p.alpha_vis_max)
+            )
+        normal = compute_normal_map(vertex)
+        raycast_maps["normal_map"] = normal
+        model.pool, n_added = gmodel.add_gaussians(
+            model.pool, vertex, gt, normal, mask,
+            p.new_gs_sample_ratio, self.cfg.tpu.max_new_gaussians,
+            self.cfg.model.default_opacities,
+            (self.cfg.model.min_init_scale, self.cfg.model.max_init_scale),
+            model.next_rng(),
+        )
+
+    # -------------------------------------------------------------- optimize
+
+    def local_optimize(self, model: GaussianModel) -> None:
+        """(localOptimize :195-291): static-shape batch, scanned Adam."""
+        p = self.pipe
+        n_valid = len(self.opt_cam_list)
+        if n_valid == 0:
+            return
+        M = p.localframe_cam_window_length + p.keyframe_select_max
+        idx_pad = [min(i, n_valid - 1) for i in range(M)]
+
+        def stack(get):
+            return jnp.stack([get(idx_pad[i]) for i in range(M)])
+
+        batch = {
+            "c2w": stack(lambda i: jnp.asarray(self.opt_cam_list[i].c2w_slam)),
+            "K": stack(lambda i: jnp.asarray(self.opt_cam_list[i].K)),
+            "gt_rgb": stack(lambda i: jnp.asarray(self.opt_cam_list[i].image)),
+            "ref_depth": stack(lambda i: self.opt_raycast_list[i]["depth_map"][..., 0]),
+            "base_color": stack(lambda i: self.opt_raycast_list[i]["color_map"]),
+            "cam_id": jnp.asarray(
+                [self.opt_cam_list[i].id for i in idx_pad], jnp.int32
+            ),
+        }
+        iter_idx = jnp.asarray(
+            self._rng.integers(0, n_valid, p.local_opt_iters), jnp.int32
+        )
+        model.init_optimizers()
+        model.pool, model.opt_state, aux = gmodel.local_optimize(
+            model.pool, model.opt_state, batch, iter_idx, model.statics,
+            gmodel.tx_cfg_tuple(self.cfg.model), p.max_iterations, p.ssim_weight,
+        )
+        self.curr_iter += p.local_opt_iters
+        if self._tb is not None and p.log_slam_state:
+            hist = np.asarray(aux["loss_hist"])
+            for k, v in enumerate(hist):
+                self._tb.add_scalar("loss/total", float(v), self.curr_iter - len(hist) + k)
+            self._tb.add_scalar("opt_state/opt_gs_num", model.num_gaussians, self.curr_iter)
+
+    def remove_redundant(self, model: GaussianModel) -> None:
+        """(removeRedundantGs :564-586)."""
+        if model.num_gaussians == 0:
+            return
+        p = self.pipe
+        model.pool, _ = gmodel.remove_redundant(
+            model.pool,
+            jnp.asarray(p.remove_small_scale_thres),
+            jnp.asarray(p.remove_large_scale_thres),
+            jnp.asarray(p.remove_low_opac_thres),
+        )
+
+    # ------------------------------------------------------------------ eval
+
+    def render_eval_imgs(self, model: GaussianModel, cams: list[Camera],
+                         names: tuple = ("rgb",)) -> None:
+        """(renderEvalImgs :588-695): writes val/{gt,render,comp,
+        raycast_color,raycast_depth} artifacts with reference-compatible
+        names."""
+        p = self.pipe
+        for sub in ("gt", "render", "comp", "raycast_color", "raycast_depth"):
+            os.makedirs(os.path.join(self.eval_path, sub), exist_ok=True)
+        for cam in cams:
+            fid = cam.get_frame_id()
+            fname = f"frame{fid}_iter{self.curr_iter}"
+            ray = self.run_raycast_by_cam(cam, False)
+            rc_color = np.asarray(ray["color_map"])
+            rc_depth = np.asarray(ray["depth_map"])
+            vis.imwrite_rgb(
+                os.path.join(self.eval_path, "raycast_color", f"frame{fid}.color.jpg"),
+                vis.to_u8_rgb(np.clip(rc_color, 0, 1)),
+            )
+            vis.imwrite_rgb(
+                os.path.join(self.eval_path, "raycast_color", f"frame{fid}_comp.color.jpg"),
+                vis.color_comp_img(np.clip(rc_color, 0, 1), cam.image, 0, p.color_error_max),
+            )
+            import cv2
+
+            cv2.imwrite(
+                os.path.join(self.eval_path, "raycast_depth", f"frame{fid}.depth.png"),
+                vis.depth_to_png16(rc_depth),
+            )
+            vis.imwrite_rgb(
+                os.path.join(self.eval_path, "raycast_depth", f"frame{fid}_comp.depth.png"),
+                vis.depth_comp_img(rc_depth, cam.depth, 0, p.depth_vis_max, 0, p.depth_error_max),
+            )
+            if model.num_gaussians > 0:
+                res = model.forward(
+                    cam.c2w_slam, cam.K, ray["depth_map"][..., 0], ray["color_map"]
+                )
+                if "rgb" in names:
+                    rendered = np.clip(np.asarray(res["rgb"]), 0, 1)
+                    vis.imwrite_rgb(
+                        os.path.join(self.eval_path, "gt", fname + ".color.jpg"),
+                        vis.to_u8_rgb(cam.image),
+                    )
+                    vis.imwrite_rgb(
+                        os.path.join(self.eval_path, "render", fname + ".color.jpg"),
+                        vis.to_u8_rgb(rendered),
+                    )
+                    vis.imwrite_rgb(
+                        os.path.join(self.eval_path, "comp", fname + ".color.jpg"),
+                        vis.color_comp_img(rendered, cam.image, 0, p.color_error_max),
+                    )
+                if "alpha" in names:
+                    vis.imwrite_rgb(
+                        os.path.join(self.eval_path, "render", fname + ".alpha.jpg"),
+                        vis.jet(np.asarray(res["alpha"]), 0, 1),
+                    )
+                if "depth" in names:
+                    vis.imwrite_rgb(
+                        os.path.join(self.eval_path, "render", fname + ".depth.jpg"),
+                        vis.jet(np.asarray(res["depth"]), 0, p.depth_vis_max, True),
+                    )
+
+    # ------------------------------------------------------------------ save
+
+    def save(self, model: GaussianModel, reader: DatasetReader) -> None:
+        """Model + viewer artifacts (Pipeline::save, src/pipeline.cpp:38-54)."""
+        model.save(self.model_path)
+        uio.save_cameras_json(
+            reader.train_vec, os.path.join(self.model_path, "cameras.json")
+        )
+        uio.save_cfg_args(
+            os.path.join(self.model_path, "cfg_args"), self.cfg.model.sh_degree
+        )
+
+    def save_mesh(self) -> None:
+        self.engine.save_mesh(
+            os.path.join(self.workspace_dir, self.pipe.tsdf.saved_mesh)
+        )
+
+    def save_engine(self) -> None:
+        self.engine.save_scene(
+            os.path.join(self.workspace_dir, self.pipe.tsdf.saved_engine)
+        )
+
+    def load_engine(self) -> None:
+        self.engine.load_scene(
+            os.path.join(self.workspace_dir, self.pipe.tsdf.saved_engine)
+        )
