@@ -126,6 +126,71 @@ def ges_forward(
     }
 
 
+def raw_forward(
+    params: dict,
+    alive: jax.Array,
+    c2w: jax.Array,
+    K: jax.Array,
+    cam_id: jax.Array,
+    st: RenderStatics,
+    means2d_probe: jax.Array | None = None,
+) -> dict:
+    """Classic 3DGS render (rawForward, raw_gs_model.cpp:43-185):
+    depth-sorted front-to-back alpha compositing, expected depth =
+    blended depth / alpha.  `means2d_probe` (zeros [C,2]) is added to the
+    projected means so callers can take d(loss)/d(means2d) for densify
+    statistics (the reference retains the intermediate's grad instead,
+    pipeline.cpp:200)."""
+    from . import rasterize_classic as rcl
+
+    viewmat = pose_inv(c2w)
+    proj = projection.project(
+        params["means"], params["quats"], jnp.exp(params["scales"]),
+        viewmat, K, st.width, st.height,
+        eps2d=st.eps2d, near_plane=st.near_plane, far_plane=st.far_plane,
+        radius_clip=st.radius_clip, valid=alive,
+    )
+    radii = proj.radii
+    if st.max_gs_radii > 0:
+        radii = jnp.minimum(radii, st.max_gs_radii)
+    means2d = proj.means2d
+    if means2d_probe is not None:
+        means2d = means2d + means2d_probe
+
+    coeffs = jnp.concatenate(
+        [params["features_dc"][:, None, :], params["features_rest"]], axis=1
+    )
+    viewdirs = params["means"] - c2w[:3, 3]
+    colors = sh.eval_sh(st.sh_degree, viewdirs, coeffs, mask=radii > 0)
+    colors = jnp.maximum(colors + 0.5, 0.0)
+    colors4 = jnp.concatenate([colors, proj.depths[:, None]], axis=1)
+
+    tile_w = -(-st.width // st.tile_size)
+    tile_h = -(-st.height // st.tile_size)
+    bins = rcl.bin_gaussians_depth(
+        means2d, radii, proj.depths, st.tile_size, tile_w, tile_h,
+        st.visible_cap, st.tiles_per_gaussian_cap, st.tile_cap,
+    )
+    render, alpha = rcl.classic_rasterize(
+        means2d, proj.conics, colors4,
+        jax.nn.sigmoid(params["opacities"][:, 0]),
+        bins, st.width, st.height, st.tile_size,
+    )
+    rgb, raw_depth = render[..., :3], render[..., 3]
+    depth = raw_depth / jnp.maximum(alpha, 1e-10)
+    return {
+        "rgb": rgb, "depth": depth, "alpha": alpha, "radii": radii,
+        "means2d": means2d,
+        "n_pairs": bins.n_pairs,
+        "n_tile_overflow": bins.n_tile_overflow,
+        "n_span_overflow": bins.n_span_overflow,
+    }
+
+
+ges_forward_jit = jax.jit(ges_forward, static_argnums=(7,))
+raw_forward_jit = jax.jit(raw_forward, static_argnums=(5,))
+
+
 # ---------------------------------------------------------------------------
 # jitted training step over an optimization camera set
 # ---------------------------------------------------------------------------
@@ -294,12 +359,19 @@ class GaussianModel:
         self.opt_state = self.tx.init(self.pool.params)
 
     def forward(self, c2w, K, ref_depth, base_color, cam_id: int = -1) -> dict:
-        return ges_forward(
+        ref = jnp.asarray(ref_depth)
+        if ref.ndim == 3:
+            ref = ref[..., 0]
+        st = self.statics
+        if ref.shape != (st.height, st.width):
+            # off-size request (e.g. remote viewer): recompile for the new
+            # resolution; RenderStatics is hashable so the jit cache keeps
+            # one entry per distinct size
+            st = st._replace(height=ref.shape[0], width=ref.shape[1])
+        return ges_forward_jit(
             self.pool.params, self.pool.alive,
-            jnp.asarray(c2w), jnp.asarray(K),
-            jnp.asarray(ref_depth).reshape(self.statics.height, self.statics.width),
-            jnp.asarray(base_color), jnp.asarray(cam_id, jnp.int32),
-            self.statics,
+            jnp.asarray(c2w), jnp.asarray(K), ref,
+            jnp.asarray(base_color), jnp.asarray(cam_id, jnp.int32), st,
         )
 
     def next_rng(self):

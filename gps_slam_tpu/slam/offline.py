@@ -1,0 +1,185 @@
+"""Offline trainer base — the reference's Pipeline (src/pipeline.cpp):
+
+rawTrainCams (:155-226): classic 3DGS training — max_iterations Adam steps,
+one random camera each, optional densify (clone/split/prune + opacity
+reset) driven by accumulated screen-space gradient statistics.
+
+gesTrainCams (:229-319): the same loop but rendering with the GES method
+against precomputed raycast targets (SDF depth + color per camera).
+
+TPU shape: one jitted iteration step (value_and_grad incl. a means2d grad
+probe for densify stats) that is reused across iterations; densify runs as
+its own jitted step every densify_interval iters, with optimizer-state
+rows zeroed for touched pool slots (the fixed-pool analog of the
+reference's optimizer surgery).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data.reader import DatasetReader, RandomSelector
+from ..gs import densify as dmod, losses, model as gmodel, optim
+from ..gs.model import GaussianModel
+from ..utils import io as uio
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7),
+         static_argnames=("want_probe_grad",), donate_argnums=(0, 1))
+def _train_iter(
+    pool, opt_state, cam, st, tx_cfg, max_iterations, ssim_weight, method,
+    ref_depth=None, base_color=None, want_probe_grad=False,
+):
+    """One offline training iteration.  Returns (pool, opt_state, loss,
+    probe_grad, radii)."""
+    tx = optim.make_optimizer(gmodel._TxCfg(*tx_cfg), max_iterations)
+    probe = jnp.zeros((pool.capacity, 2))
+
+    def loss_fn(params, probe):
+        if method == "raw":
+            res = gmodel.raw_forward(params, pool.alive, cam["c2w"], cam["K"],
+                                     cam["cam_id"], st, means2d_probe=probe)
+        else:
+            res = gmodel.ges_forward(params, pool.alive, cam["c2w"], cam["K"],
+                                     ref_depth, base_color, cam["cam_id"], st)
+        loss = losses.compute_loss(res["rgb"], res["depth"], cam["gt_rgb"],
+                                   None, ssim_weight, 0.0)
+        return loss["total"], res["radii"]
+
+    if method == "raw" and want_probe_grad:
+        (lval, radii), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            pool.params, probe
+        )
+        param_grads, probe_grad = grads
+    else:
+        (lval, radii), param_grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            pool.params, probe
+        )
+        probe_grad = probe
+    updates, opt_state = tx.update(param_grads, opt_state, pool.params)
+    params = optax.apply_updates(pool.params, updates)
+    return pool.with_params(params), opt_state, lval, probe_grad, radii
+
+
+class OfflinePipeline:
+    """Pipeline base (src/pipeline.cpp:5-54 loadConfig/save)."""
+
+    def __init__(self, cfg: Config, workspace_dir: str):
+        self.cfg = cfg
+        self.workspace_dir = workspace_dir
+        self.model_path = workspace_dir + cfg.pipe.model_path
+        self.eval_path = workspace_dir + cfg.pipe.eval_path
+        self.curr_iter = 0
+        self.scene_scale = 1.0
+        self._rng = np.random.default_rng(cfg.dev_id + 7)
+
+    # -- raw mode -------------------------------------------------------------
+
+    def raw_train_cams(self, model: GaussianModel, cams: list) -> None:
+        cfg = self.cfg
+        m = cfg.model
+        model.init_optimizers()
+        selector = RandomSelector(list(range(len(cams))), self._rng)
+        grad_2d = jnp.zeros((model.pool.capacity,))
+        vis_count = jnp.zeros((model.pool.capacity,))
+        tx_cfg = gmodel.tx_cfg_tuple(m)
+        densify_on = cfg.pipe.enable_densify
+
+        cam_dev = [
+            {
+                "c2w": jnp.asarray(c.c2w), "K": jnp.asarray(c.K),
+                "gt_rgb": jnp.asarray(c.image),
+                "cam_id": jnp.asarray(c.id, jnp.int32),
+            }
+            for c in cams
+        ]
+        while self.curr_iter < cfg.pipe.max_iterations:
+            it = self.curr_iter
+            if cfg.pipe.selected_cam_idx >= 0:
+                ci = cfg.pipe.selected_cam_idx
+            else:
+                ci, _ = selector.get_next()
+            want_grad = densify_on and it < m.densify_end_iter
+            model.pool, model.opt_state, lval, probe_grad, radii = _train_iter(
+                model.pool, model.opt_state, cam_dev[ci], model.statics, tx_cfg,
+                cfg.pipe.max_iterations, cfg.pipe.ssim_weight, "raw",
+                want_probe_grad=want_grad,
+            )
+            if want_grad:
+                # updateDensifyGrad (raw_gs_model.cpp:459-503)
+                vis = radii > 0
+                img_scale = jnp.asarray(
+                    [model.statics.width / 2.0, model.statics.height / 2.0]
+                )
+                gnorm = jnp.linalg.norm(probe_grad * img_scale, axis=-1)
+                grad_2d = jnp.where(vis, grad_2d + gnorm, grad_2d)
+                vis_count = jnp.where(vis, vis_count + 1.0, vis_count)
+                if it % m.densify_interval == 0 and it > m.densify_start_iter:
+                    pause = it % m.reset_opacity_interval < dmod.PAUSE_REFINE_AFTER_RESET
+                    if not pause:
+                        model.pool, touched, stats = dmod.densify_step(
+                            model.pool, grad_2d, vis_count, model.next_rng(),
+                            jnp.asarray(self.scene_scale),
+                            jnp.asarray([
+                                m.densify_grad_thres, m.densify_large_thres,
+                                m.split_screen_size, m.prune_opacity_thres,
+                            ]),
+                            self.cfg.tpu.max_new_gaussians,
+                            jnp.asarray(it > m.reset_opacity_interval),
+                        )
+                        model.opt_state = optim.zero_state_rows(model.opt_state, touched)
+                    grad_2d = jnp.zeros_like(grad_2d)
+                    vis_count = jnp.zeros_like(vis_count)
+                if it > 0 and it % m.reset_opacity_interval == 0:
+                    model.pool = dmod.reset_opacities(
+                        model.pool, jnp.asarray(2.0 * m.prune_opacity_thres)
+                    )
+            self.curr_iter += 1
+
+    # -- ges mode (offline, precomputed raycast targets) -----------------------
+
+    def ges_train_cams(self, model: GaussianModel, cams: list,
+                       raycast_targets: list[dict]) -> None:
+        """(gesTrainCams, pipeline.cpp:229-319): like raw training but with
+        the GES renderer against per-camera SDF raycast depth/color."""
+        cfg = self.cfg
+        model.init_optimizers()
+        selector = RandomSelector(list(range(len(cams))), self._rng)
+        tx_cfg = gmodel.tx_cfg_tuple(cfg.model)
+        cam_dev = [
+            {
+                "c2w": jnp.asarray(c.c2w), "K": jnp.asarray(c.K),
+                "gt_rgb": jnp.asarray(c.image),
+                "cam_id": jnp.asarray(c.id, jnp.int32),
+            }
+            for c in cams
+        ]
+        while self.curr_iter < cfg.pipe.max_iterations:
+            if cfg.pipe.selected_cam_idx >= 0:
+                ci = cfg.pipe.selected_cam_idx
+            else:
+                ci, _ = selector.get_next()
+            rt = raycast_targets[ci]
+            model.pool, model.opt_state, lval, _, _ = _train_iter(
+                model.pool, model.opt_state, cam_dev[ci], model.statics, tx_cfg,
+                cfg.pipe.max_iterations, cfg.pipe.ssim_weight, "ges",
+                ref_depth=rt["depth_map"][..., 0] if rt["depth_map"].ndim == 3
+                else rt["depth_map"],
+                base_color=rt["color_map"],
+            )
+            self.curr_iter += 1
+
+    def save(self, model: GaussianModel, reader: DatasetReader) -> None:
+        model.save(self.model_path)
+        uio.save_cameras_json(reader.train_vec,
+                              os.path.join(self.model_path, "cameras.json"))
+        uio.save_cfg_args(os.path.join(self.model_path, "cfg_args"),
+                          self.cfg.model.sh_degree)

@@ -61,6 +61,20 @@ class TsdfEngine:
         self._last_pose: np.ndarray = np.eye(4, dtype=np.float32)
         self._tracker = None  # set by attach_tracker (slam.tracker)
         self._last_raycast_for_tracking = None
+        # tracking-failure policy (ITMLibSettings behaviourOnFailure,
+        # default IGNORE; ITMBasicEngine.tpp:283-333).  Optional YAML key
+        # PIPE.TSDF.behaviour_on_failure extends the reference schema.
+        self.failure_policy = str(
+            (cfg.raw.get("PIPE", {}).get("TSDF", {}) or {}).get(
+                "behaviour_on_failure", "ignore"
+            )
+        )
+        self.relocalizer = None
+        if self.failure_policy == "relocalise":
+            from ..slam.relocalizer import FernRelocalizer
+
+            self.relocalizer = FernRelocalizer()
+        self._tracking_quality = 2
 
     # -- configuration -------------------------------------------------------
 
@@ -80,6 +94,7 @@ class TsdfEngine:
         """Track (or inject gt pose) + fuse one RGB-D frame; returns the
         estimated c2w pose (ITMBasicEngine::ProcessFrame)."""
         i = self.current_frame
+        skip_fusion = False
         if self.tracking_active and self._tracker is not None and i > 0:
             pose, quality = self._tracker.track(
                 self._last_pose,
@@ -87,19 +102,39 @@ class TsdfEngine:
                 self._last_raycast_for_tracking,
                 self.K,
             )
+            self._tracking_quality = quality
             if quality == TrackingResult.FAILED:
                 pose = self._last_pose  # pose revert (ITMBasicEngine.tpp:365-366)
+                if self.failure_policy == "stop_integration":
+                    skip_fusion = True
+                elif self.failure_policy == "relocalise" and self.relocalizer:
+                    # Fern retrieval + re-track from the retrieved pose
+                    # (ITMBasicEngine.tpp:302-333)
+                    cand = self.relocalizer.relocalize(depth)
+                    if cand is not None:
+                        reloc_maps = self.run_raycast(cand)
+                        pose, quality = self._tracker.track(
+                            cand, depth, reloc_maps, self.K
+                        )
+                        if quality == TrackingResult.FAILED:
+                            pose = self._last_pose
+                            skip_fusion = True
+            if self.relocalizer is not None:
+                self.relocalizer.process_frame(
+                    depth, pose, quality == TrackingResult.GOOD
+                )
         elif self.gt_c2w_poses:
             # frames beyond the supplied gt trajectory keep the last pose
             pose = self.gt_c2w_poses[min(i, len(self.gt_c2w_poses) - 1)]
         else:
             pose = self._last_pose
 
-        d = jnp.asarray(np.asarray(depth).reshape(self.height, self.width))
-        c = jnp.asarray(np.asarray(rgb).reshape(self.height, self.width, 3))
-        self.vol = integrate.fuse_frame(
-            self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K)
-        )
+        if not skip_fusion:
+            d = jnp.asarray(np.asarray(depth).reshape(self.height, self.width))
+            c = jnp.asarray(np.asarray(rgb).reshape(self.height, self.width, 3))
+            self.vol = integrate.fuse_frame(
+                self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K)
+            )
         self._last_pose = np.asarray(pose, dtype=np.float32)
         self.cam_poses.append(self._last_pose.copy())
         self.cam_intrinsics.append(self.K.copy())

@@ -1,0 +1,148 @@
+"""Auxiliary subsystems: remote viewer protocol, fern relocalizer,
+prefetcher, offline ges trainer."""
+
+import json
+import socket
+import struct
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+
+from gps_slam_tpu.data import synthetic
+from gps_slam_tpu.slam.relocalizer import FernRelocalizer
+from gps_slam_tpu.viewer import server as vs
+
+
+class _FakePipe:
+    def __init__(self, cam):
+        self.cam = cam
+
+    def run_raycast_by_cam(self, cam, use_cam_depth):
+        H, W = cam.height, cam.width
+        return {
+            "color_map": jnp.full((H, W, 3), 0.25),
+            "depth_map": jnp.full((H, W, 1), 2.0),
+        }
+
+
+class _FakeModel:
+    def forward(self, c2w, K, ref_depth, base_color):
+        H, W = ref_depth.shape
+        return {"rgb": jnp.full((H, W, 3), 0.5)}
+
+
+def test_viewer_protocol_roundtrip():
+    cams = synthetic.make_cameras(1, 64, 48)
+    pipe, model = _FakePipe(cams[0]), _FakeModel()
+    port = 16699
+    t = threading.Thread(
+        target=vs.serve, args=(pipe, model, port), kwargs={"max_requests": 1},
+        daemon=True,
+    )
+    t.start()
+    import time
+
+    time.sleep(0.5)
+    sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+    pose = np.eye(4, dtype=np.float32)
+    msg = json.dumps({
+        "fov_x": 1.0, "fov_y": 0.8, "resolution_x": 64, "resolution_y": 48,
+        "pose": pose.T.reshape(-1).tolist(),
+    }).encode()
+    sock.sendall(struct.pack("<i", len(msg)) + msg)
+
+    def read_exact(n):
+        buf = b""
+        while len(buf) < n:
+            buf += sock.recv(n - len(buf))
+        return buf
+
+    imgs = []
+    for _ in range(4):
+        w, h = struct.unpack("<II", read_exact(8))
+        data = read_exact(w * h * 3)
+        imgs.append(np.frombuffer(data, np.uint8).reshape(h, w, 3))
+    assert imgs[0].shape == (48, 64, 3)
+    assert abs(int(imgs[0][0, 0, 0]) - 128) <= 1  # 0.5 gray render
+    rot = np.frombuffer(read_exact(9 * 4), "<f4").reshape(3, 3)
+    trans = np.frombuffer(read_exact(3 * 4), "<f4")
+    (slen,) = struct.unpack("<I", read_exact(4))
+    info = read_exact(slen).decode()
+    mvp = np.frombuffer(read_exact(16 * 4), "<f4").reshape(4, 4)
+    # SIBR convention: y/z columns negated
+    np.testing.assert_allclose(rot, np.diag([1, -1, -1]), atol=1e-6)
+    assert "viewer" in info
+    sock.close()
+    t.join(timeout=10)
+
+
+def test_fern_relocalizer():
+    cams = synthetic.make_cameras(8, 80, 60)
+    reloc = FernRelocalizer(harvest_threshold=0.05)
+    for cam in cams[:6]:
+        reloc.process_frame(cam.depth, cam.c2w, tracking_good=True)
+    assert reloc.num_keyframes >= 2
+    # query with a stored frame's depth: must return (close to) its pose
+    est = reloc.relocalize(cams[0].depth)
+    assert est is not None
+    np.testing.assert_allclose(est, cams[0].c2w, atol=1e-5)
+    # untrusted tracking never harvests
+    n = reloc.num_keyframes
+    reloc.process_frame(cams[7].depth, cams[7].c2w, tracking_good=False)
+    assert reloc.num_keyframes == n
+
+
+def test_prefetcher_order():
+    from gps_slam_tpu.data.prefetch import FramePrefetcher
+
+    cams = synthetic.make_cameras(5, 32, 24)
+    seen = []
+    for cam, d, c in FramePrefetcher(cams, None, None):
+        assert d.shape == (24, 32)
+        assert c.shape == (24, 32, 3)
+        seen.append(cam.id)
+    assert seen == [0, 1, 2, 3, 4]
+
+
+def test_offline_ges_trainer(tmp_path):
+    from gps_slam_tpu.config import Config
+    from gps_slam_tpu.gs import model as gmodel
+    from gps_slam_tpu.gs.model import GaussianModel
+    from gps_slam_tpu.slam.offline import OfflinePipeline
+
+    cams = synthetic.make_cameras(2, 96, 72)
+    node = {
+        "input_dir": "x", "image_path": "c", "pose_path": "c", "depth_path": "d",
+        "pcd_name": "n", "depth_scale": 6553.5, "scene_scale": 1.0,
+        "start_frame": 0, "end_frame": 1, "frame_step": 1,
+        "intrinsics": [cams[0].fx, cams[0].fy, cams[0].cx, cams[0].cy],
+        "image_shape": [96, 72], "downscale_factor": 1, "test_split_interval": -1,
+    }
+    cfg_dict = synthetic.default_config_dict(str(tmp_path), node)
+    cfg_dict["PIPE"]["max_iterations"] = 25
+    cfg = Config.from_dict(cfg_dict)
+    model = GaussianModel(cfg, 96, 72)
+    fm = cams[0].get_frame_maps()
+    mask = jnp.zeros((72, 96), bool).at[::2, ::2].set(True)
+    model.pool, _ = gmodel.add_gaussians(
+        model.pool, fm["vertex_map"], fm["color_map"], fm["normal_map"], mask,
+        0.5, 1024, 0.5, (-1.0, 0.05), model.next_rng(),
+    )
+    targets = [
+        {"depth_map": jnp.zeros((72, 96, 1)), "color_map": jnp.zeros((72, 96, 3))}
+        for _ in cams
+    ]
+    pipe = OfflinePipeline(cfg, str(tmp_path))
+    l_before = float(
+        jnp.abs(model.forward(cams[0].c2w, cams[0].K, targets[0]["depth_map"],
+                              targets[0]["color_map"])["rgb"]
+                - jnp.asarray(cams[0].image)).mean()
+    )
+    pipe.ges_train_cams(model, cams, targets)
+    l_after = float(
+        jnp.abs(model.forward(cams[0].c2w, cams[0].K, targets[0]["depth_map"],
+                              targets[0]["color_map"])["rgb"]
+                - jnp.asarray(cams[0].image)).mean()
+    )
+    assert l_after < l_before
