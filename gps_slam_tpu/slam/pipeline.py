@@ -104,6 +104,8 @@ class SLAMPipeline:
                 self.local_optimize(model)
                 t5 = time.monotonic()
                 self.remove_redundant(model)
+                if self.pipe.kf_sample_method == "ours":
+                    self.check_key_frame_error(model)
                 jax.block_until_ready(model.pool.n_alive)
                 t6 = time.monotonic()
                 self.t_local_raycast += (t2 - t1) * 1000
@@ -276,6 +278,29 @@ class SLAMPipeline:
             for k, v in enumerate(hist):
                 self._tb.add_scalar("loss/total", float(v), self.curr_iter - len(hist) + k)
             self._tb.add_scalar("opt_state/opt_gs_num", model.num_gaussians, self.curr_iter)
+
+    def check_key_frame_error(self, model: GaussianModel) -> None:
+        """(checkKeyFrameError, slam_pipeline.cpp:293-317): after each
+        optimization window re-evaluate the sampled keyframes' masked loss
+        and record [loss, frame_id, mean confidence, opt_count] — the
+        bookkeeping behind the `ours` sampling method.  (The reference
+        defines score-based comparators but its release path still samples
+        keyframes randomly; we mirror that.)"""
+        p = self.pipe
+        n_local = len(self.localframe_cam_window)
+        for cam, ray in zip(self.opt_cam_list[n_local:], self.opt_raycast_list[n_local:]):
+            res = model.forward(
+                cam.c2w_slam, cam.K, ray["depth_map"][..., 0], ray["color_map"]
+            )
+            mask = (ray["depth_map"][..., 0] > 0)[..., None]
+            loss = float(losses.l1(jnp.asarray(cam.image), res["rgb"], mask))
+            conf_mean = float(ray["confidence_map"].mean())
+            fid = cam.get_frame_id()
+            prev = self.keyframe_loss_dict.get(fid, [0.1, 0.0, 0.0, 0.0, 0.0])
+            opt_count = prev[3] + (1.0 if loss > p.kf_loss_thres else 0.0)
+            self.keyframe_loss_dict[fid] = [
+                loss, float(self.curr_frame_id), conf_mean, opt_count,
+            ]
 
     def remove_redundant(self, model: GaussianModel) -> None:
         """(removeRedundantGs :564-586)."""

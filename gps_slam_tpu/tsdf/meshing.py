@@ -152,14 +152,24 @@ def _extended_grids(vol_np: dict, block_ids: np.ndarray, hh: _HostHash):
     return sdf, w, col, base
 
 
-def extract_mesh(vol: TsdfVolume, chunk_blocks: int = 2048, require_weight: bool = True):
+def extract_mesh(vol: TsdfVolume, chunk_blocks: int = 2048,
+                 require_weight: bool = True, use_native: bool = True):
     """Extract the iso-surface as a triangle soup.
 
     Returns (vertices [3T, 3] metres, colors [3T, 3] in [0,1]).
     `require_weight` skips cells touching never-integrated voxels — avoids
     the truncation-boundary skin classic MC produces from uninitialized
     sdf=1 neighbors.
+
+    Uses the native C++ mesher (native/mesher.cpp, OpenMP) when available;
+    this numpy implementation is the fallback and the test oracle.
     """
+    if use_native:
+        from .native import extract_mesh_native
+
+        res = extract_mesh_native(vol, require_weight)
+        if res is not None:
+            return res
     vol_np = {
         "block_coords": np.asarray(vol.block_coords),
         "sdf": np.asarray(vol.sdf),

@@ -1,0 +1,92 @@
+"""ctypes bindings for the native runtime components (native/*.cpp).
+
+The compute path is JAX/XLA; host-side runtime pieces (currently the
+marching-tetrahedra mesher) are C++ with a plain-C ABI, auto-built with
+g++ on first use and loaded through ctypes.  Everything has a pure-numpy
+fallback so the framework works without a compiler."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_NATIVE_DIR, "libmesher.so")
+    if not os.path.exists(so):
+        src = os.path.join(_NATIVE_DIR, "mesher.cpp")
+        if not os.path.exists(src):
+            return None
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
+                 "-std=c++17", src, "-o", so],
+                check=True, capture_output=True, timeout=180,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.extract_mesh.restype = ctypes.c_int64
+        lib.extract_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def extract_mesh_native(vol, require_weight: bool = True,
+                        max_verts: int = 20_000_000):
+    """Native mesh extraction; returns (verts [V,3], colors [V,3]) or None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    tk = np.ascontiguousarray(np.asarray(vol.table_keys), np.uint32)
+    tp = np.ascontiguousarray(np.asarray(vol.table_ptrs), np.int32)
+    bc = np.ascontiguousarray(np.asarray(vol.block_coords), np.uint32)
+    sdf = np.ascontiguousarray(np.asarray(vol.sdf), np.float32)
+    w = np.ascontiguousarray(np.asarray(vol.w_depth), np.int16)
+    col = np.ascontiguousarray(np.asarray(vol.color), np.uint8)
+    n_blocks = int(vol.n_blocks)
+    out_v = np.empty((max_verts, 3), np.float32)
+    out_c = np.empty((max_verts, 3), np.float32)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n = lib.extract_mesh(
+        ptr(tk, ctypes.c_uint32), ptr(tp, ctypes.c_int32),
+        ctypes.c_int64(tk.shape[0]), ctypes.c_int(vol.params.max_probes),
+        ptr(bc, ctypes.c_uint32), ptr(sdf, ctypes.c_float),
+        ptr(w, ctypes.c_int16), ptr(col, ctypes.c_uint8),
+        ctypes.c_int64(n_blocks), ctypes.c_float(vol.params.voxel_size),
+        ctypes.c_int(1 if require_weight else 0),
+        ptr(out_v, ctypes.c_float), ptr(out_c, ctypes.c_float),
+        ctypes.c_int64(max_verts),
+    )
+    n = int(n)
+    return out_v[:n].copy(), out_c[:n].copy()
