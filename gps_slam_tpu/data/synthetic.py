@@ -277,5 +277,6 @@ def default_config_dict(out_dir: str, reader_node: dict, work_mode: str = "train
             "max_isects": 2 ** 17,
             "tile_gaussian_cap": 256,
             "raycast_max_steps": 64,
+            "raycast_lb": 32,
         },
     }

@@ -139,6 +139,7 @@ class SLAMPipeline:
             pass
         print(line, end="")
         print(f"GPU memory usage: {mem_mb} MB")
+        os.makedirs(self.workspace_dir, exist_ok=True)
         with open(os.path.join(self.workspace_dir, "time_log.txt"), "w") as f:
             f.write(line)
             f.write(f"GPU memory usage: {mem_mb} MB\n")

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from . import integrate, raycast as rc
+from . import integrate, raycast as rc, raycast_tiles as rc_tiles
 from .volume import TsdfParams, TsdfVolume, create
 
 
@@ -48,6 +48,10 @@ class TsdfEngine:
             visible_capacity=tpu.visible_block_capacity,
             alloc_steps=tpu.alloc_steps,
             raycast_steps=tpu.raycast_max_steps,
+            alloc_candidate_cap=tpu.alloc_candidate_cap,
+            raycast_lb=tpu.raycast_lb,
+            raycast_samples=tpu.raycast_samples,
+            raycast_bisect=tpu.raycast_bisect,
         )
         self.vol: TsdfVolume = create(self.params)
         self.width, self.height = int(width), int(height)
@@ -156,13 +160,12 @@ class TsdfEngine:
         K = jnp.asarray(self.K if K is None else K, dtype=jnp.float32)
         width = width or self.width
         height = height or self.height
-        w2c = np.linalg.inv(np.asarray(c2w, dtype=np.float32))
-        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-        vis = integrate.visible_blocks(
-            self.vol, jnp.asarray(w2c), fx, fy, cx, cy, width, height
+        p = self.vol.params
+        return rc_tiles.raycast(
+            self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
+            width, height, p.raycast_lb, p.raycast_samples, p.raycast_bisect,
+            p.raycast_chunk,
         )
-        return rc.raycast(self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
-                          vis, width, height)
 
     # -- persistence -----------------------------------------------------------
 
@@ -180,6 +183,9 @@ class TsdfEngine:
             color=np.asarray(self.vol.color),
             w_color=np.asarray(self.vol.w_color),
             n_blocks=np.asarray(self.vol.n_blocks),
+            mip=np.asarray(self.vol.mip),
+            block_min_sdf=np.asarray(self.vol.block_min_sdf),
+            block_max_w=np.asarray(self.vol.block_max_w),
             cam_poses=np.stack(self.cam_poses) if self.cam_poses else np.zeros((0, 4, 4)),
             cam_intrinsics=np.stack(self.cam_intrinsics)
             if self.cam_intrinsics
@@ -199,6 +205,11 @@ class TsdfEngine:
             color=jnp.asarray(z["color"]),
             w_color=jnp.asarray(z["w_color"]),
             n_blocks=jnp.asarray(z["n_blocks"]),
+            mip=jnp.asarray(z["mip"]) if "mip" in z else self.vol.mip,
+            block_min_sdf=jnp.asarray(z["block_min_sdf"])
+            if "block_min_sdf" in z else self.vol.block_min_sdf,
+            block_max_w=jnp.asarray(z["block_max_w"])
+            if "block_max_w" in z else self.vol.block_max_w,
         )
         self.cam_poses = [p.astype(np.float32) for p in z["cam_poses"]]
         self.cam_intrinsics = [k.astype(np.float32) for k in z["cam_intrinsics"]]

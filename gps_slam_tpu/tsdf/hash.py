@@ -94,6 +94,22 @@ def lookup(
     return ptr
 
 
+def dedup_candidates(packed: jax.Array, cap: int) -> jax.Array:
+    """Collapse a large candidate stream to its unique keys, padded with
+    EMPTY to `cap`.  One XLA sort + compaction — candidate streams are
+    ~50x redundant (every pixel of a surface patch names the same blocks),
+    and probing 1.5M raw candidates costs ~200 ms where probing the ~30k
+    unique ones is sub-ms.  Overflow beyond `cap` is dropped for the frame
+    (benign: re-candidates next frame)."""
+    s = jnp.sort(packed)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    ) & (s != EMPTY)
+    idx, = jnp.nonzero(first, size=cap, fill_value=0)
+    ok = jnp.arange(cap) < jnp.sum(first.astype(jnp.int32))
+    return jnp.where(ok, s[idx], EMPTY)
+
+
 def insert(
     table_keys: jax.Array,   # uint32 [H]
     table_ptrs: jax.Array,   # int32 [H]

@@ -40,6 +40,11 @@ class TsdfParams:
     max_probes: int = struct.field(pytree_node=False, default=8)
     visible_capacity: int = struct.field(pytree_node=False, default=2 ** 15)
     alloc_steps: int = struct.field(pytree_node=False, default=4)
+    alloc_candidate_cap: int = struct.field(pytree_node=False, default=2 ** 15)
+    raycast_lb: int = struct.field(pytree_node=False, default=24)      # blocks/tile
+    raycast_samples: int = struct.field(pytree_node=False, default=4)  # coarse samples/block
+    raycast_bisect: int = struct.field(pytree_node=False, default=6)
+    raycast_chunk: int = struct.field(pytree_node=False, default=32)   # tiles/scan step
     raycast_steps: int = struct.field(pytree_node=False, default=96)
     refine_steps: int = struct.field(pytree_node=False, default=3)
 
@@ -55,6 +60,10 @@ class TsdfVolume:
     color: jax.Array         # u8 [B, 512, 3]
     w_color: jax.Array       # i16 [B, 512]
     n_blocks: jax.Array      # i32 scalar
+    # incremental per-block summaries for the tile raycaster
+    mip: jax.Array           # f32 [B, 64] 2x2x2 mean-pooled sdf
+    block_min_sdf: jax.Array # f32 [B] min sdf over integrated voxels (1 = none)
+    block_max_w: jax.Array   # i32 [B] max integration weight
 
 
 def create(params: TsdfParams) -> TsdfVolume:
@@ -70,6 +79,9 @@ def create(params: TsdfParams) -> TsdfVolume:
         color=jnp.zeros((B, BLOCK_VOL, 3), dtype=jnp.uint8),
         w_color=jnp.zeros((B, BLOCK_VOL), dtype=jnp.int16),
         n_blocks=jnp.zeros((), dtype=jnp.int32),
+        mip=jnp.ones((B, 64), dtype=jnp.float32),
+        block_min_sdf=jnp.ones((B,), dtype=jnp.float32),
+        block_max_w=jnp.zeros((B,), dtype=jnp.int32),
     )
 
 
