@@ -276,7 +276,8 @@ class TpuConfig:
     max_probes: int = 8                       # linear-probe chain length
     visible_block_capacity: int = 2 ** 15     # per-frame visible block list
     tile_size: int = 16                       # rasterizer tile edge (pixels)
-    tiles_per_gaussian_cap: int = 64          # per-Gaussian tile-overlap cap
+    tiles_per_gaussian_cap: int = 36          # per-Gaussian tile-overlap cap
+    visible_gaussian_cap: int = 2 ** 16       # visible set considered per render
     tile_gaussian_cap: int = 512              # per-tile Gaussian list length
     max_isects: int = 2 ** 21                 # total intersection capacity
     raycast_max_steps: int = 96               # sphere-trace step budget

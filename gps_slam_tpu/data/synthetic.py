@@ -278,5 +278,6 @@ def default_config_dict(out_dir: str, reader_node: dict, work_mode: str = "train
             "tile_gaussian_cap": 256,
             "raycast_max_steps": 64,
             "raycast_lb": 32,
+            "tiles_per_gaussian_cap": 64,
         },
     }

@@ -341,7 +341,7 @@ class GaussianModel:
             width=width, height=height, sh_degree=m.sh_degree,
             tile_size=cfg.tpu.tile_size, max_gs_radii=m.max_gs_radii,
             delta_depth=m.delta_depth, use_exposure=m.use_exposure,
-            visible_cap=min(cfg.tpu.gaussian_capacity, cfg.tpu.max_isects // 8),
+            visible_cap=min(cfg.tpu.gaussian_capacity, cfg.tpu.visible_gaussian_cap),
             tiles_per_gaussian_cap=cfg.tpu.tiles_per_gaussian_cap,
             tile_cap=cfg.tpu.tile_gaussian_cap,
         )

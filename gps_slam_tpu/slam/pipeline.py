@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
+from ..data.device_cache import DeviceFrameCache
 from ..data.reader import DatasetReader, RandomSelector
 from ..gs import losses, model as gmodel
 from ..gs.model import GaussianModel
@@ -56,6 +57,7 @@ class SLAMPipeline:
         self.opt_raycast_list: list[dict] = []
         self.keyframe_loss_dict: dict[str, list[float]] = {}
         self._rng = np.random.default_rng(cfg.dev_id + 1)
+        self.frame_cache = DeviceFrameCache()
         self._tb = None
         if is_train:
             os.makedirs(self.log_path, exist_ok=True)
@@ -84,7 +86,13 @@ class SLAMPipeline:
         for i, cam in enumerate(cams):
             t0 = time.monotonic()
             self.curr_frame_id = i
-            pose = self.engine.process_frame(cam.image, cam.depth)
+            rgb_dev, depth_dev = self.frame_cache.get(cam)
+            pose = self.engine.process_frame(rgb_dev, depth_dev)
+            # issue the next frames' host->device uploads now so the (slow)
+            # link overlaps this frame's fusion compute
+            for ahead in range(1, 3):
+                if i + ahead < total:
+                    self.frame_cache.get(cams[i + ahead])
             jax.block_until_ready(self.engine.vol.n_blocks)
             cam.c2w_slam = np.asarray(pose)
             self.curr_cam = cam
@@ -214,7 +222,7 @@ class SLAMPipeline:
         depth = raycast_maps["depth_map"][..., 0]
         vertex = raycast_maps["vertex_map"]
         color = raycast_maps["color_map"]
-        gt = jnp.asarray(cam.image)
+        gt, _ = self.frame_cache.get(cam)
 
         valid_depth = (depth > p.depth_vis_min) & (depth < p.depth_vis_max)
         valid_vertex = jnp.abs(vertex).sum(-1) > 0
@@ -258,7 +266,7 @@ class SLAMPipeline:
         batch = {
             "c2w": stack(lambda i: jnp.asarray(self.opt_cam_list[i].c2w_slam)),
             "K": stack(lambda i: jnp.asarray(self.opt_cam_list[i].K)),
-            "gt_rgb": stack(lambda i: jnp.asarray(self.opt_cam_list[i].image)),
+            "gt_rgb": stack(lambda i: self.frame_cache.get(self.opt_cam_list[i])[0]),
             "ref_depth": stack(lambda i: self.opt_raycast_list[i]["depth_map"][..., 0]),
             "base_color": stack(lambda i: self.opt_raycast_list[i]["color_map"]),
             "cam_id": jnp.asarray(

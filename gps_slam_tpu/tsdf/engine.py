@@ -94,9 +94,12 @@ class TsdfEngine:
 
     # -- per-frame processing -------------------------------------------------
 
-    def process_frame(self, rgb: np.ndarray, depth: np.ndarray) -> np.ndarray:
+    def process_frame(self, rgb, depth) -> np.ndarray:
         """Track (or inject gt pose) + fuse one RGB-D frame; returns the
-        estimated c2w pose (ITMBasicEngine::ProcessFrame)."""
+        estimated c2w pose (ITMBasicEngine::ProcessFrame).  `rgb`/`depth`
+        may be host numpy or device arrays (callers should prefer
+        device-cached frames, data/device_cache.py — the host link here
+        is slow)."""
         i = self.current_frame
         skip_fusion = False
         if self.tracking_active and self._tracker is not None and i > 0:
@@ -134,8 +137,10 @@ class TsdfEngine:
             pose = self._last_pose
 
         if not skip_fusion:
-            d = jnp.asarray(np.asarray(depth).reshape(self.height, self.width))
-            c = jnp.asarray(np.asarray(rgb).reshape(self.height, self.width, 3))
+            d = jnp.asarray(depth)
+            if d.ndim == 3:
+                d = d[..., 0]
+            c = jnp.asarray(rgb)
             self.vol = integrate.fuse_frame(
                 self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K)
             )

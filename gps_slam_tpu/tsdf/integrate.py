@@ -100,11 +100,17 @@ def visible_blocks(
     fx, fy, cx, cy,
     width: int,
     height: int,
+    depth: jax.Array | None = None,
 ) -> jax.Array:
     """Indices of allocated blocks visible in the camera, padded with -1 to
     `visible_capacity` (ITMSceneReconstructionEngine_CUDA buildVisibleList /
     checkBlockVisibility).  A block is visible when any of its 8 corners
-    projects inside the (slightly enlarged) image within the frustum."""
+    projects inside the (slightly enlarged) image within the frustum.
+
+    With `depth` given and band_only_integration set, blocks far from the
+    measured surface band at their image tile are dropped: integrating
+    them only performs free-space carving, a no-op for static scenes.  The
+    test uses 32x32-pixel min/max depth pools."""
     p = vol.params
     B = p.block_capacity
     allocated = jnp.arange(B, dtype=jnp.int32) < vol.n_blocks
@@ -127,8 +133,118 @@ def visible_blocks(
         & (v > -margin_v) & (v < height + margin_v)
     )
     vis = allocated & jnp.any(ok, axis=1)
+
+    if depth is not None and p.band_only_integration:
+        PT = 32
+        th, tw = -(-height // PT), -(-width // PT)
+        dpad = jnp.pad(depth, ((0, th * PT - height), (0, tw * PT - width)))
+        tiles = dpad.reshape(th, PT, tw, PT)
+        dvalid = tiles > 0
+        tmin = jnp.min(jnp.where(dvalid, tiles, jnp.inf), axis=(1, 3))
+        tmax = jnp.max(jnp.where(dvalid, tiles, -jnp.inf), axis=(1, 3))
+        zc = jnp.mean(z, axis=1)
+        uc = jnp.clip(jnp.mean(u, axis=1) / PT, 0, tw - 1).astype(jnp.int32)
+        vc = jnp.clip(jnp.mean(v, axis=1) / PT, 0, th - 1).astype(jnp.int32)
+        margin = p.mu + 1.74 * p.voxel_size * BLOCK
+        in_band = (
+            (zc > tmin[vc, uc] - margin) & (zc < tmax[vc, uc] + margin)
+        )
+        vis = vis & in_band
+
     (idx,) = jnp.nonzero(vis, size=p.visible_capacity, fill_value=-1)
     return idx.astype(jnp.int32)
+
+
+PT = 32  # image tile edge for windowed sampling
+
+
+def _window_sample(
+    depth: jax.Array,        # [H, W]
+    rgb_packed: jax.Array,   # [H, W] u32
+    u: jax.Array, v: jax.Array,   # [V, 512] projected pixel coords
+    width: int, height: int,
+    chunk: int = 512,
+):
+    """Per-voxel image values without element gathers.
+
+    Blocks are small on screen, so each visible block's 512 voxels project
+    into a 64x64-pixel window.  The image is cut into 32x32 tiles; each
+    block row-gathers its 2x2 tile neighborhood (contiguous 4 KB rows) and
+    samples within the window via separable one-hot contractions on the
+    MXU (f32-precision for depth: bf16 would quantize metres to ~1 cm).
+    Voxels projecting outside their block's window (blocks closer than
+    ~0.4 m appear larger than 64 px) are masked out for the frame.
+
+    Returns (depth_vals [V,512], rgb_vals [V,512,3], in_window [V,512]).
+    """
+    tw = -(-width // PT)
+    th = -(-height // PT)
+    dpad = jnp.pad(depth, ((0, th * PT - height), (0, tw * PT - width)))
+    cpad = jnp.pad(rgb_packed, ((0, th * PT - height), (0, tw * PT - width)))
+    d_tiles = dpad.reshape(th, PT, tw, PT).transpose(0, 2, 1, 3).reshape(th * tw, PT, PT)
+    c_tiles = cpad.reshape(th, PT, tw, PT).transpose(0, 2, 1, 3).reshape(th * tw, PT, PT)
+
+    V = u.shape[0]
+    # window anchor from the block's projected bbox
+    umin = jnp.min(u, axis=1)
+    vmin = jnp.min(v, axis=1)
+    ax = jnp.clip(jnp.floor(umin / PT).astype(jnp.int32), 0, tw - 2)
+    ay = jnp.clip(jnp.floor(vmin / PT).astype(jnp.int32), 0, th - 2)
+
+    n_chunks = -(-V // chunk)
+    Vp = n_chunks * chunk
+
+    def padv(x, fill=0):
+        return jnp.concatenate(
+            [x, jnp.full((Vp - V, *x.shape[1:]), fill, x.dtype)], 0
+        ) if Vp > V else x
+
+    iota64 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * PT), 2)
+
+    def body(carry, xs):
+        ui, vi_, axi, ayi = xs
+        # gather the 2x2 tile neighborhood (row gathers)
+        t00 = ayi * tw + axi
+        rows = jnp.stack([t00, t00 + 1, t00 + tw, t00 + tw + 1], 1)   # [c,4]
+        dw = d_tiles[rows]                                  # [c,4,PT,PT]
+        cw = c_tiles[rows]
+        def to_win(x):
+            q = x.reshape(-1, 2, 2, PT, PT)                 # [c,ty,tx,y,x]
+            return q.transpose(0, 1, 3, 2, 4).reshape(-1, 2 * PT, 2 * PT)
+        dwin = to_win(dw)                                   # [c,64,64]
+        cwin = to_win(cw)
+        lu = ui - (axi * PT)[:, None].astype(jnp.float32)
+        lv = vi_ - (ayi * PT)[:, None].astype(jnp.float32)
+        iu = jnp.round(lu).astype(jnp.int32)
+        iv = jnp.round(lv).astype(jnp.int32)
+        in_win = (iu >= 0) & (iu < 2 * PT) & (iv >= 0) & (iv < 2 * PT)
+        uh = (iota64 == jnp.clip(iu, 0, 2 * PT - 1)[..., None]).astype(jnp.float32)
+        vh = (iota64 == jnp.clip(iv, 0, 2 * PT - 1)[..., None]).astype(jnp.float32)
+        # depth: f32 contractions (precision HIGHEST keeps metres exact)
+        q = jnp.einsum("cyx,ckx->cyk", dwin, uh,
+                       precision=jax.lax.Precision.HIGHEST)
+        dval = jnp.einsum("cyk,cky->ck", q, vh,
+                          precision=jax.lax.Precision.HIGHEST)
+        # color: unpack to f32 channels then the same contractions
+        cf = _unpack_rgb(cwin)                               # [c,64,64,3]
+        qc = jnp.einsum("cyxd,ckx->cykd", cf, uh,
+                        precision=jax.lax.Precision.DEFAULT)
+        cval = jnp.einsum("cykd,cky->ckd", qc, vh,
+                          precision=jax.lax.Precision.DEFAULT)
+        return carry, (dval, cval, in_win)
+
+    xs = (
+        padv(u).reshape(n_chunks, chunk, -1),
+        padv(v).reshape(n_chunks, chunk, -1),
+        padv(ax).reshape(n_chunks, chunk),
+        padv(ay).reshape(n_chunks, chunk),
+    )
+    _, (dvals, cvals, in_win) = jax.lax.scan(body, None, xs)
+    return (
+        dvals.reshape(Vp, -1)[:V],
+        cvals.reshape(Vp, -1, 3)[:V],
+        in_win.reshape(Vp, -1)[:V],
+    )
 
 
 def _block_voxel_positions(block_keys: jax.Array, voxel_size: float) -> jax.Array:
@@ -145,13 +261,14 @@ def _block_voxel_positions(block_keys: jax.Array, voxel_size: float) -> jax.Arra
     return (base[:, None, :] + local[None, :, :]) * voxel_size
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
 def fuse_frame(
     vol: TsdfVolume,
     depth: jax.Array,   # [H, W] metres
     rgb: jax.Array,     # [H, W, 3] float in [0,1]
     c2w: jax.Array,     # 4x4
     K: jax.Array,       # 3x3
+    bilinear_color: bool = False,
 ) -> TsdfVolume:
     """One frame of allocation + integration (DenseMapper::ProcessFrame,
     ITMDenseMapper.tpp:33-60).  Donates the volume for in-place update."""
@@ -179,7 +296,7 @@ def fuse_frame(
         [jnp.concatenate([w2c_R, w2c_t[:, None]], axis=1),
          jnp.array([[0.0, 0.0, 0.0, 1.0]])], axis=0
     )
-    vis = visible_blocks(vol, w2c, fx, fy, cx, cy, width, height)
+    vis = visible_blocks(vol, w2c, fx, fy, cx, cy, width, height, depth=depth)
     vis_valid = vis >= 0
     vis_safe = jnp.where(vis_valid, vis, 0)
 
@@ -195,12 +312,19 @@ def fuse_frame(
         & (u >= 1) & (u <= width - 2)
         & (v >= 1) & (v <= height - 2)
     )
-    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, width - 1)
-    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, height - 1)
-    d_meas = depth[vi, ui]
+    rgb_packed = _pack_rgb(rgb)
+    if bilinear_color:
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, width - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, height - 1)
+        d_meas = depth[vi, ui]
+        in_win = jnp.ones_like(in_img)
+    else:
+        d_meas, c_win, in_win = _window_sample(
+            depth, rgb_packed, u, v, width, height
+        )
     has_depth = d_meas > 0
     eta = d_meas - z
-    update = in_img & has_depth & (eta >= -p.mu) & vis_valid[:, None]
+    update = in_img & in_win & has_depth & (eta >= -p.mu) & vis_valid[:, None]
 
     old_f = vol.sdf[vis_safe]                                # [V, 512]
     old_w = vol.w_depth[vis_safe].astype(jnp.float32)
@@ -210,25 +334,30 @@ def fuse_frame(
     new_f = jnp.where(update, num / den, old_f)
     new_w = jnp.where(update, jnp.minimum(den, float(p.max_w)), old_w)
 
-    # color: bilinear sample, only near the surface (|eta/mu| < 0.25,
-    # Shared.h:176-178).  The image is packed rgb888 -> one u32 gather per
-    # tap instead of three f32 gathers (3x less random-access traffic).
+    # color: sampled only near the surface (|eta/mu| < 0.25,
+    # Shared.h:176-178).  The image is packed rgb888 so each tap is one u32
+    # element-gather.  Default is a single nearest tap: element gathers
+    # cost ~4 ms per million on this hardware and the running average over
+    # ~100 observations washes out the half-pixel difference vs the
+    # reference's bilinear tap (available via bilinear_color=True).
     color_update = update & (eta <= p.mu) & (jnp.abs(eta / p.mu) < 0.25)
-    rgb_packed = _pack_rgb(rgb)
-    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, width - 2)
-    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, height - 2)
-    du = jnp.clip(u - u0, 0.0, 1.0)
-    dv = jnp.clip(v - v0, 0.0, 1.0)
-    c00 = _unpack_rgb(rgb_packed[v0, u0])
-    c01 = _unpack_rgb(rgb_packed[v0, u0 + 1])
-    c10 = _unpack_rgb(rgb_packed[v0 + 1, u0])
-    c11 = _unpack_rgb(rgb_packed[v0 + 1, u0 + 1])
-    c_meas = (
-        c00 * ((1 - du) * (1 - dv))[..., None]
-        + c01 * (du * (1 - dv))[..., None]
-        + c10 * ((1 - du) * dv)[..., None]
-        + c11 * (du * dv)[..., None]
-    )  # [V, 512, 3] in [0,1]
+    if bilinear_color:
+        u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, width - 2)
+        v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, height - 2)
+        du = jnp.clip(u - u0, 0.0, 1.0)
+        dv = jnp.clip(v - v0, 0.0, 1.0)
+        c00 = _unpack_rgb(rgb_packed[v0, u0])
+        c01 = _unpack_rgb(rgb_packed[v0, u0 + 1])
+        c10 = _unpack_rgb(rgb_packed[v0 + 1, u0])
+        c11 = _unpack_rgb(rgb_packed[v0 + 1, u0 + 1])
+        c_meas = (
+            c00 * ((1 - du) * (1 - dv))[..., None]
+            + c01 * (du * (1 - dv))[..., None]
+            + c10 * ((1 - du) * dv)[..., None]
+            + c11 * (du * dv)[..., None]
+        )  # [V, 512, 3] in [0,1]
+    else:
+        c_meas = c_win
     old_c = vol.color[vis_safe].astype(jnp.float32) / 255.0
     old_wc = vol.w_color[vis_safe].astype(jnp.float32)
     new_c = jnp.where(

@@ -349,8 +349,13 @@ def raycast(
         # confidence + color; payload rows selected by matching borg_sel
         # back to a one-hot over LB (exact float equality is safe: the
         # values are copies)
-        ohl_f = jnp.all(
-            borg[:, None] == borg_sel[:, :, None, :], axis=-1
+        # mask to valid list slots: a block spanning several tiles can
+        # reappear in this tile's spill region (entries beyond the tile's
+        # count belong to neighboring tiles in the sorted pair stream) and
+        # an unmasked equality would double-count its payload
+        ohl_f = (
+            jnp.all(borg[:, None] == borg_sel[:, :, None, :], axis=-1)
+            & vld[:, None, :]
         ).astype(jnp.bfloat16)                                  # [c,P,LB]
         posq = o[..., 0, :] + dw * t_star[..., None]
         localq = jnp.clip((posq - borg_sel) * inv_vox, 0.0, BLOCK - 1.0)

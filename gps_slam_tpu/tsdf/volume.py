@@ -45,6 +45,9 @@ class TsdfParams:
     raycast_samples: int = struct.field(pytree_node=False, default=4)  # coarse samples/block
     raycast_bisect: int = struct.field(pytree_node=False, default=6)
     raycast_chunk: int = struct.field(pytree_node=False, default=32)   # tiles/scan step
+    # integrate only blocks near the measured depth band (True) or every
+    # visible block incl. free-space carving (False = reference semantics)
+    band_only_integration: bool = struct.field(pytree_node=False, default=True)
     raycast_steps: int = struct.field(pytree_node=False, default=96)
     refine_steps: int = struct.field(pytree_node=False, default=3)
 
