@@ -24,7 +24,7 @@ import time
 
 
 def main() -> None:
-    n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
     width = int(os.environ.get("BENCH_W", "1200"))
     height = int(os.environ.get("BENCH_H", "680"))
 
