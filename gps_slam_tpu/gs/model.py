@@ -284,6 +284,8 @@ def add_gaussians(
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     flat_mask = sample_mask.reshape(-1)
+    # the spawn cap cannot exceed the number of pixels
+    max_new = min(max_new, flat_mask.shape[0])
     n_valid = jnp.sum(flat_mask.astype(jnp.int32))
     # random priority per pixel; masked-out pixels get +inf so the top
     # `max_new` candidates are a uniform sample of the masked set

@@ -405,6 +405,16 @@ def raycast(
     from ..utils.se3 import compute_normal_map
 
     normal_img = compute_normal_map(vertex_img)
+    # Sobel gradients across miss pixels produce garbage unit normals at
+    # every hit pixel adjacent to a miss (~8 neighbors per miss), which
+    # poisons point-to-plane ICP; invalidate normals whose 3x3
+    # neighborhood contains a miss (the reference's ICP-map normal
+    # computation likewise requires all 4 neighbors valid)
+    hit_mask = (depth_img > 0).astype(jnp.float32)
+    nbhd_ok = jax.lax.reduce_window(
+        hit_mask, 1.0, jax.lax.min, (3, 3), (1, 1), "SAME"
+    ) > 0.5
+    normal_img = jnp.where(nbhd_ok[..., None], normal_img, 0.0)
     return {
         "vertex_map": vertex_img,
         "color_map": color_img,
