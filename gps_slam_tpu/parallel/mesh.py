@@ -33,10 +33,11 @@ from ..gs import losses, optim
 from ..gs.model import RenderStatics, ges_forward
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "data",
+              platform: str | None = None) -> Mesh:
+    devs = jax.devices(platform) if platform else jax.devices()
     n = n_devices or len(devs)
-    if len(devs) < n:
+    if len(devs) < n and platform is None:
         # the default backend is smaller than requested (e.g. one real TPU
         # while dry-running an 8-way mesh): fall back to the virtual CPU
         # devices (xla_force_host_platform_device_count)
@@ -53,7 +54,7 @@ def dp_train_step_fn(mesh: Mesh, st: RenderStatics, tx_cfg, max_iterations: int,
     cam_batch arrays are sharded over axis 0 ("data"); params/opt_state are
     replicated.  Returns step(params, alive, opt_state, cam_batch) ->
     (params, opt_state, loss)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     tx = optim.make_optimizer(optim_cfg(tx_cfg), max_iterations)
 
@@ -86,7 +87,7 @@ def dp_train_step_fn(mesh: Mesh, st: RenderStatics, tx_cfg, max_iterations: int,
         mesh=mesh,
         in_specs=(rep, rep, rep, shd),
         out_specs=(rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)
 
@@ -104,7 +105,7 @@ class optim_cfg:
 def dp_render_fn(mesh: Mesh, st: RenderStatics):
     """Data-parallel eval render: cameras sharded over "data", images
     returned sharded (callers gather lazily via addressable shards)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def render_shard(params, alive, batch):
         outs = []
@@ -121,7 +122,7 @@ def dp_render_fn(mesh: Mesh, st: RenderStatics):
     shd = P("data")
     f = shard_map(
         render_shard, mesh=mesh, in_specs=(rep, rep, shd), out_specs=shd,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)
 
