@@ -47,25 +47,13 @@ class RenderStatics(NamedTuple):
     near_plane: float = 0.01
     far_plane: float = 1e10
     radius_clip: float = 0.0
+    active_tile_cap: int = 2048   # static bound on Gaussian-occupied tiles
+    bin_margin_px: float = 2.0    # radius inflation when bins are reused
 
 
-def ges_forward(
-    params: dict,
-    alive: jax.Array,
-    c2w: jax.Array,        # [4, 4] camera-to-world (c2w_slam)
-    K: jax.Array,          # [3, 3]
-    ref_depth: jax.Array,  # [H, W] SDF raycast depth (0 = no surface)
-    base_color: jax.Array, # [H, W, 3] SDF raycast color
-    cam_id: jax.Array,     # int32 scalar (exposure index)
-    st: RenderStatics,
-) -> dict:
-    """The GES render (gesForward, raw_gs_model.cpp:188-367):
-    project -> SH -> bin -> weighted-sum rasterize -> blend with the SDF
-    base layer."""
+def _project_and_colors(params, alive, c2w, K, st, active_sh_degree=None):
+    """Shared projection + SH head of the GES/raw forwards."""
     viewmat = pose_inv(c2w)
-    ref = ref_depth
-    ref_clamped = jnp.where(ref < 0.01, 1000.0, ref)  # :205-208
-
     proj = projection.project(
         params["means"], params["quats"], jnp.exp(params["scales"]),
         viewmat, K, st.width, st.height,
@@ -81,19 +69,63 @@ def ges_forward(
         [params["features_dc"][:, None, :], params["features_rest"]], axis=1
     )
     viewdirs = params["means"] - c2w[:3, 3]
-    colors = sh.eval_sh(st.sh_degree, viewdirs, coeffs, mask=radii > 0)
+    colors = sh.eval_sh(st.sh_degree, viewdirs, coeffs, mask=radii > 0,
+                        active_degree=active_sh_degree)
     colors = jnp.maximum(colors + 0.5, 0.0)
+    return proj, radii, colors
+
+
+def ges_bin(params, alive, c2w, K, st: RenderStatics,
+            margin_px: float = 0.0) -> rasterize.ActiveBins:
+    """Active-tile binning for the current parameters — split out so one
+    binning can be reused across a window's optimization iterations
+    (the reference re-bins every iteration, isect_tiles_no_depth.cu; the
+    sub-pixel parameter drift over 20 Adam steps makes that redundant —
+    `margin_px` keeps the lists conservative)."""
+    proj, radii, _ = _project_and_colors(params, alive, c2w, K, st)
+    tile_w = -(-st.width // st.tile_size)
+    tile_h = -(-st.height // st.tile_size)
+    return rasterize.bin_gaussians_active(
+        proj.means2d, radii, st.tile_size, tile_w, tile_h,
+        st.visible_cap, st.tiles_per_gaussian_cap, st.tile_cap,
+        st.active_tile_cap, margin_px=margin_px,
+    )
+
+
+def ges_forward(
+    params: dict,
+    alive: jax.Array,
+    c2w: jax.Array,        # [4, 4] camera-to-world (c2w_slam)
+    K: jax.Array,          # [3, 3]
+    ref_depth: jax.Array,  # [H, W] SDF raycast depth (0 = no surface)
+    base_color: jax.Array, # [H, W, 3] SDF raycast color
+    cam_id: jax.Array,     # int32 scalar (exposure index)
+    st: RenderStatics,
+    bins: rasterize.ActiveBins | None = None,
+    active_sh_degree: jax.Array | None = None,
+) -> dict:
+    """The GES render (gesForward, raw_gs_model.cpp:188-367):
+    project -> SH -> bin -> weighted-sum rasterize -> blend with the SDF
+    base layer.  Pass `bins` to reuse a previous binning (window loop)."""
+    ref = ref_depth
+    ref_clamped = jnp.where(ref < 0.01, 1000.0, ref)  # :205-208
+
+    proj, radii, colors = _project_and_colors(
+        params, alive, c2w, K, st, active_sh_degree
+    )
 
     # depth blended like a color channel (:286)
     colors4 = jnp.concatenate([colors, proj.depths[:, None]], axis=1)
 
     tile_w = -(-st.width // st.tile_size)
     tile_h = -(-st.height // st.tile_size)
-    bins = rasterize.bin_gaussians(
-        proj.means2d, radii, st.tile_size, tile_w, tile_h,
-        st.visible_cap, st.tiles_per_gaussian_cap, st.tile_cap,
-    )
-    raw, weight_sum = rasterize.ges_rasterize(
+    if bins is None:
+        bins = rasterize.bin_gaussians_active(
+            proj.means2d, radii, st.tile_size, tile_w, tile_h,
+            st.visible_cap, st.tiles_per_gaussian_cap, st.tile_cap,
+            st.active_tile_cap,
+        )
+    raw, weight_sum = rasterize.ges_rasterize_active(
         proj.means2d, proj.conics, colors4,
         jax.nn.sigmoid(params["opacities"][:, 0]),
         bins, ref_clamped, proj.depths, st.delta_depth,
@@ -123,6 +155,7 @@ def ges_forward(
         "n_pairs": bins.n_pairs,
         "n_tile_overflow": bins.n_tile_overflow,
         "n_span_overflow": bins.n_span_overflow,
+        "n_active_overflow": bins.n_active_overflow,
     }
 
 
@@ -195,35 +228,79 @@ raw_forward_jit = jax.jit(raw_forward, static_argnums=(5,))
 # jitted training step over an optimization camera set
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(0, 1))
-def local_optimize(
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8), donate_argnums=(0,))
+def window_optimize(
     pool: GaussianPool,
-    opt_state,
-    cam_batch: dict,      # stacked [M, ...]: c2w, K, gt_rgb, ref_depth, base_color, cam_id
+    cam_batch: dict,      # stacked [M, ...]: c2w, K, gt_rgb, gt_depth,
+                          # ref_depth, base_color, cam_id
     iter_cam_idx: jax.Array,  # int32 [iters] which camera each iteration uses
     st: RenderStatics,
     tx_cfg: tuple,        # hashable ModelConfig-derived tuple for optimizer
     max_iterations: int,
     ssim_weight: float,
-) -> tuple[GaussianPool, object, dict]:
+    depth_weight: float,
+    opt_cap: int,         # static prefix of the (compact) pool to optimize
+    active_sh_degree: jax.Array = None,
+) -> tuple[GaussianPool, dict]:
     """The localOptimize loop (slam_pipeline.cpp:195-291): `iters` Adam
     steps, each on one random camera from the optimization set, compiled as
-    one lax.scan."""
+    one lax.scan.  Optimizer state is created fresh inside (the reference
+    re-inits every window, slam_pipeline.cpp:202).
+
+    TPU design vs the reference loop:
+      * The pool is kept compact (alive rows first, params.compact), so all
+        per-iteration math runs on the `opt_cap`-row prefix instead of the
+        full capacity — cost scales with the live Gaussian count.
+      * Each camera is binned ONCE per window (ges_bin with a pixel margin)
+        instead of every iteration; only projection/SH/rasterization rerun.
+      * `depth_weight`/`ssim_weight` follow computeLoss
+        (raw_gs_model.cpp:369-417).
+    """
     tx = optim.make_optimizer(_TxCfg(*tx_cfg), max_iterations)
+    tile_w = -(-st.width // st.tile_size)
+    tile_h = -(-st.height // st.tile_size)
+    # couple the active-tile bound to the pool bucket: few Gaussians can
+    # only touch few tiles; at large buckets fall back to the full grid
+    # (the n_active_overflow counter in the result reports any clipping)
+    act_cap = min(tile_w * tile_h, max(st.active_tile_cap, opt_cap // 8))
+    st = st._replace(
+        visible_cap=min(st.visible_cap, opt_cap),
+        active_tile_cap=act_cap,
+    )
+    cparams = {
+        k: (v if k == "exposure" else v[:opt_cap])
+        for k, v in pool.params.items()
+    }
+    calive = pool.alive[:opt_cap]
+    opt_state = tx.init(cparams)
+
+    # one binning per window camera, stacked [M, ...]
+    def make_bins(cam):
+        return ges_bin(cparams, calive, cam["c2w"], cam["K"], st,
+                       margin_px=st.bin_margin_px)
+
+    bins = jax.lax.map(
+        make_bins, {"c2w": cam_batch["c2w"], "K": cam_batch["K"]}
+    )
 
     def step(carry, cam_i):
         prms, ostate = carry
+        b = jax.tree.map(lambda x: x[cam_i], bins)
 
         def loss_fn(p):
             res = ges_forward(
-                p, pool.alive,
+                p, calive,
                 cam_batch["c2w"][cam_i], cam_batch["K"][cam_i],
                 cam_batch["ref_depth"][cam_i], cam_batch["base_color"][cam_i],
                 cam_batch["cam_id"][cam_i], st,
+                bins=b, active_sh_degree=active_sh_degree,
+            )
+            gt_depth = (
+                cam_batch["gt_depth"][cam_i] if "gt_depth" in cam_batch else None
             )
             loss = losses.compute_loss(
                 res["rgb"], res["depth"], cam_batch["gt_rgb"][cam_i],
-                None, ssim_weight, 0.0,
+                gt_depth, ssim_weight, depth_weight,
             )
             return loss["total"], loss
 
@@ -232,10 +309,16 @@ def local_optimize(
         prms = optax.apply_updates(prms, updates)
         return (prms, ostate), lval
 
-    (prms, opt_state), loss_hist = jax.lax.scan(
-        step, (pool.params, opt_state), iter_cam_idx
+    (cparams, opt_state), loss_hist = jax.lax.scan(
+        step, (cparams, opt_state), iter_cam_idx
     )
-    return pool.with_params(prms), opt_state, {"loss_hist": loss_hist}
+
+    new_params = {
+        k: (cparams[k] if k == "exposure"
+            else jax.lax.dynamic_update_slice_in_dim(v, cparams[k], 0, axis=0))
+        for k, v in pool.params.items()
+    }
+    return pool.with_params(new_params), {"loss_hist": loss_hist}
 
 
 class _TxCfg(NamedTuple):
@@ -335,6 +418,11 @@ def remove_redundant(
 class GaussianModel:
     """Host-side facade holding pool + config (RawGaussianModel role)."""
 
+    # prefix-size buckets for the compact-pool fast path: the smallest
+    # bucket >= n_alive bounds per-step cost by the live count while keeping
+    # compiled shapes to a handful
+    BUCKETS = (4096, 16384, 32768, 65536, 131072)
+
     def __init__(self, cfg: Config, width: int, height: int, exposure_num: int = 0):
         m = cfg.model
         self.cfg = cfg
@@ -346,14 +434,31 @@ class GaussianModel:
             visible_cap=min(cfg.tpu.gaussian_capacity, cfg.tpu.visible_gaussian_cap),
             tiles_per_gaussian_cap=cfg.tpu.tiles_per_gaussian_cap,
             tile_cap=cfg.tpu.tile_gaussian_cap,
+            active_tile_cap=cfg.tpu.active_tile_cap,
         )
         self.tx = optim.make_optimizer(m, cfg.pipe.max_iterations)
         self.opt_state = None
         self._rng = jax.random.PRNGKey(cfg.dev_id)
+        # the SLAM path keeps the pool compact (spawn appends into the free
+        # tail, prune is followed by pmod.compact); offline densify breaks
+        # the invariant (its Adam state is aligned to fixed rows)
+        self.pool_compact = True
 
     @property
     def num_gaussians(self) -> int:
         return int(self.pool.n_alive)
+
+    def opt_cap(self, extra: int = 0) -> int:
+        """Smallest bucket covering the live prefix (+`extra` upcoming
+        spawns); full capacity when the pool is not compact."""
+        cap = self.pool.capacity
+        if not self.pool_compact:
+            return cap
+        need = self.num_gaussians + extra
+        for b in self.BUCKETS:
+            if b >= need and b <= cap:
+                return b
+        return cap
 
     def init_optimizers(self) -> None:
         """Fresh Adam state (the reference re-inits every window,
@@ -370,8 +475,21 @@ class GaussianModel:
             # resolution; RenderStatics is hashable so the jit cache keeps
             # one entry per distinct size
             st = st._replace(height=ref.shape[0], width=ref.shape[1])
+        cap = self.opt_cap()
+        tile_w = -(-st.width // st.tile_size)
+        tile_h = -(-st.height // st.tile_size)
+        st = st._replace(active_tile_cap=min(
+            tile_w * tile_h, max(st.active_tile_cap, cap // 8)
+        ))
+        if cap < self.pool.capacity:
+            params = {k: (v if k == "exposure" else v[:cap])
+                      for k, v in self.pool.params.items()}
+            alive = self.pool.alive[:cap]
+            st = st._replace(visible_cap=min(st.visible_cap, cap))
+        else:
+            params, alive = self.pool.params, self.pool.alive
         return ges_forward_jit(
-            self.pool.params, self.pool.alive,
+            params, alive,
             jnp.asarray(c2w), jnp.asarray(K), ref,
             jnp.asarray(base_color), jnp.asarray(cam_id, jnp.int32), st,
         )

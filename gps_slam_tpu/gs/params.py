@@ -100,7 +100,10 @@ def init_attributes(
     with normals the z-axis is flattened x0.1 and the quat aligns +z to the
     normal; SH dc from rgb; opacity = logit(default)."""
     m = xyz.shape[0]
-    d2 = knn.mean_dist_sq_3nn(xyz)
+    # rows parked far away (spawn's 1e6 sentinels) are excluded from the
+    # Morton bounding box so quantization keeps its resolution
+    near = jnp.max(jnp.abs(xyz), axis=-1) < 1e5
+    d2 = knn.mean_dist_sq_3nn_morton(xyz, valid=near)
     s = jnp.sqrt(jnp.maximum(d2, 1e-12))
     if min_init_scale > 0:
         s = jnp.clip(s, min_init_scale, max_init_scale)
@@ -161,4 +164,28 @@ def remove(pool: GaussianPool, remove_mask: jax.Array) -> GaussianPool:
     return pool.replace(
         alive=pool.alive & ~kill,
         n_alive=pool.n_alive - jnp.sum(kill.astype(jnp.int32)),
+    )
+
+
+@jax.jit
+def compact(pool: GaussianPool) -> GaussianPool:
+    """Stable-permute live rows to the pool prefix.
+
+    The SLAM pipeline keeps the pool compact (compact after every prune;
+    `add` fills free slots which are then exactly the tail), so the window
+    optimizer and renderers can run on a `n_alive`-sized prefix instead of
+    the full capacity — per-iteration cost scales with the live count.
+    NOTE: callers owning per-row side state (offline densify's Adam
+    moments / gradient accumulators) must not interleave it across a
+    compaction — the SLAM path re-inits optimizer state every window
+    (slam_pipeline.cpp:202), so ordering there is free."""
+    order = jnp.argsort(~pool.alive, stable=True)
+    return pool.replace(
+        means=pool.means[order],
+        scales=pool.scales[order],
+        quats=pool.quats[order],
+        features_dc=pool.features_dc[order],
+        features_rest=pool.features_rest[order],
+        opacities=pool.opacities[order],
+        alive=pool.alive[order],
     )

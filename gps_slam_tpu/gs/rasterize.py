@@ -45,18 +45,44 @@ class TileBins(NamedTuple):
     n_span_overflow: jax.Array  # int32: gaussians whose tile bbox was clipped
 
 
-def bin_gaussians(
-    means2d: jax.Array,   # [N, 2]
-    radii: jax.Array,     # int32 [N] (0 = culled)
+class ActiveBins(NamedTuple):
+    """Per-tile lists restricted to tiles that actually contain Gaussians.
+
+    In SLAM mode Gaussians are spawned only where the SDF renders badly, so
+    the vast majority of image tiles are empty (measured p99 tile count = 0
+    on the bench scene); rasterizing only the active tiles makes the splat
+    cost proportional to Gaussian coverage instead of image area.  Empty
+    tiles render as the pure SDF base layer, which the GES blend
+    (raw + base)/(weight + 1) produces exactly when no Gaussian contributes
+    (rasterize_to_pixels_fwd_ges.cu:131-197 with an empty tile range).
+    """
+
+    tiles: jax.Array      # int32 [A] tile ids (== T where inactive/padding)
+    gids: jax.Array       # int32 [A, L]
+    valid: jax.Array      # bool [A, L]
+    n_pairs: jax.Array
+    n_tile_overflow: jax.Array
+    n_span_overflow: jax.Array
+    n_active_overflow: jax.Array  # int32: active tiles dropped by the cap A
+
+
+def _bin_pairs(
+    means2d: jax.Array,
+    radii: jax.Array,
     tile_size: int,
     tile_w: int,
     tile_h: int,
-    visible_cap: int,     # max visible gaussians considered
+    visible_cap: int,
     tiles_per_gaussian_cap: int,
-    tile_cap: int,        # L: per-tile list length
-) -> TileBins:
-    """isectTilesNoDepth + isectOffsetEncodeNoDepth equivalent
-    (isect_tiles_no_depth.cu:132-239, 373-425)."""
+    margin_px: float = 0.0,
+):
+    """Shared (gaussian, tile) pair expansion + sort.  Returns
+    (keys_s, gids_s, counts, offsets, n_pairs, n_span_overflow).
+
+    `margin_px` inflates every radius at binning time only — used when one
+    binning is reused across several optimization iterations (the Gaussians
+    drift sub-pixel per Adam step; the alpha/keep test in the rasterizer
+    stays exact, the margin just keeps the lists conservative)."""
     means2d = jax.lax.stop_gradient(means2d)
     T = tile_w * tile_h
     S = max(int(math.isqrt(tiles_per_gaussian_cap)), 1)  # bbox cap edge (tiles)
@@ -66,7 +92,7 @@ def bin_gaussians(
     vmask = vis_idx >= 0
     vsafe = jnp.where(vmask, vis_idx, 0)
     m2d = means2d[vsafe]
-    r = radii[vsafe].astype(jnp.float32)
+    r = radii[vsafe].astype(jnp.float32) + margin_px
 
     tmin_x = jnp.clip(jnp.floor((m2d[:, 0] - r) / tile_size), 0, tile_w - 1).astype(jnp.int32)
     tmax_x = jnp.clip(jnp.floor((m2d[:, 0] + r) / tile_size), 0, tile_w - 1).astype(jnp.int32)
@@ -98,15 +124,189 @@ def bin_gaussians(
 
     offsets = jnp.searchsorted(keys_s, jnp.arange(T + 1, dtype=jnp.int32))
     counts = offsets[1:] - offsets[:-1]                         # [T]
+    n_pairs = jnp.sum(pair_ok.astype(jnp.int32))
+    n_span_overflow = jnp.sum(overflow.astype(jnp.int32))
+    return keys_s, gids_s, counts, offsets, n_pairs, n_span_overflow
+
+
+def bin_gaussians(
+    means2d: jax.Array,   # [N, 2]
+    radii: jax.Array,     # int32 [N] (0 = culled)
+    tile_size: int,
+    tile_w: int,
+    tile_h: int,
+    visible_cap: int,     # max visible gaussians considered
+    tiles_per_gaussian_cap: int,
+    tile_cap: int,        # L: per-tile list length
+) -> TileBins:
+    """isectTilesNoDepth + isectOffsetEncodeNoDepth equivalent
+    (isect_tiles_no_depth.cu:132-239, 373-425)."""
+    keys_s, gids_s, counts, offsets, n_pairs, n_span_overflow = _bin_pairs(
+        means2d, radii, tile_size, tile_w, tile_h, visible_cap,
+        tiles_per_gaussian_cap,
+    )
     l = jnp.arange(tile_cap, dtype=jnp.int32)
     flat_idx = offsets[:-1, None] + l[None, :]                   # [T, L]
     valid = l[None, :] < counts[:, None]
-    gids_t = gids_s[jnp.clip(flat_idx, 0, keys.shape[0] - 1)]
+    gids_t = gids_s[jnp.clip(flat_idx, 0, keys_s.shape[0] - 1)]
 
-    n_pairs = jnp.sum(pair_ok.astype(jnp.int32))
     n_tile_overflow = jnp.sum(jnp.maximum(counts - tile_cap, 0))
-    n_span_overflow = jnp.sum(overflow.astype(jnp.int32))
     return TileBins(gids_t, valid, n_pairs, n_tile_overflow, n_span_overflow)
+
+
+def bin_gaussians_active(
+    means2d: jax.Array,
+    radii: jax.Array,
+    tile_size: int,
+    tile_w: int,
+    tile_h: int,
+    visible_cap: int,
+    tiles_per_gaussian_cap: int,
+    tile_cap: int,
+    active_cap: int,
+    margin_px: float = 0.0,
+) -> ActiveBins:
+    """Like bin_gaussians but compacted to the tiles that received at least
+    one Gaussian.  `active_cap` is the static bound on the number of active
+    tiles; overflow is counted (dropped tiles render as base layer)."""
+    T = tile_w * tile_h
+    keys_s, gids_s, counts, offsets, n_pairs, n_span_overflow = _bin_pairs(
+        means2d, radii, tile_size, tile_w, tile_h, visible_cap,
+        tiles_per_gaussian_cap, margin_px,
+    )
+    active = counts > 0
+    act_idx, = jnp.nonzero(active, size=active_cap, fill_value=T)
+    asafe = jnp.where(act_idx < T, act_idx, 0)
+    a_off = offsets[:-1][asafe]
+    a_cnt = jnp.where(act_idx < T, counts[asafe], 0)
+    l = jnp.arange(tile_cap, dtype=jnp.int32)
+    flat_idx = a_off[:, None] + l[None, :]                       # [A, L]
+    valid = l[None, :] < a_cnt[:, None]
+    gids_a = gids_s[jnp.clip(flat_idx, 0, keys_s.shape[0] - 1)]
+
+    n_tile_overflow = jnp.sum(jnp.maximum(counts - tile_cap, 0))
+    n_active = jnp.sum(active.astype(jnp.int32))
+    n_active_overflow = jnp.maximum(n_active - active_cap, 0)
+    return ActiveBins(
+        act_idx.astype(jnp.int32), gids_a, valid, n_pairs,
+        n_tile_overflow, n_span_overflow, n_active_overflow,
+    )
+
+
+def ges_rasterize_active(
+    means2d: jax.Array,     # [N, 2] (differentiable)
+    conics: jax.Array,      # [N, 3]
+    colors: jax.Array,      # [N, C]
+    opacities: jax.Array,   # [N]
+    bins: ActiveBins,
+    ref_depth: jax.Array,   # [H, W] clamped reference depth (1000 = empty)
+    gauss_depth: jax.Array, # [N] camera-space z
+    delta_depth: float,
+    width: int,
+    height: int,
+    tile_size: int = 16,
+    chunk: int = 64,
+):
+    """Active-tile GES weighted sums; identical math to ges_rasterize but
+    the per-tile contraction runs only over bins.tiles.  Inactive tiles
+    produce exact zeros (so the caller's base blend is exact).  Color/weight
+    contraction in bf16 with f32 accumulation (colors are display-range,
+    alphas <= 1 — bf16's 8 mantissa bits are below sensor noise)."""
+    tile_w = -(-width // tile_size)
+    tile_h = -(-height // tile_size)
+    T = tile_w * tile_h
+    A = bins.tiles.shape[0]
+    L = bins.gids.shape[1]
+    C = colors.shape[1]
+    P = tile_size * tile_size
+
+    n_chunks = -(-A // chunk)
+    A_pad = n_chunks * chunk
+
+    def pad_a(x, fill=0):
+        return jnp.concatenate(
+            [x, jnp.full((A_pad - A, *x.shape[1:]), fill, x.dtype)], 0
+        ) if A_pad > A else x
+
+    tiles = pad_a(bins.tiles, fill=T)
+    gids = pad_a(bins.gids)
+    valid = pad_a(bins.valid, fill=False)
+
+    ref_pad = jnp.pad(
+        ref_depth,
+        ((0, tile_h * tile_size - height), (0, tile_w * tile_size - width)),
+        constant_values=1e9,
+    )
+    ref_t_full = (
+        ref_pad.reshape(tile_h, tile_size, tile_w, tile_size)
+        .transpose(0, 2, 1, 3)
+        .reshape(T, P)
+    )
+    tsafe = jnp.where(tiles < T, tiles, 0)
+    ref_tiles = jnp.where(
+        (tiles < T)[:, None], ref_t_full[tsafe], 1e9
+    )                                                       # [A_pad, P]
+
+    tx = (tsafe % tile_w).astype(jnp.float32) * tile_size
+    ty = (tsafe // tile_w).astype(jnp.float32) * tile_size
+    pp = jnp.arange(P, dtype=jnp.float32)
+    px = tx[:, None] + (pp % tile_size)[None, :] + 0.5      # [A_pad, P]
+    py = ty[:, None] + (pp // tile_size)[None, :] + 0.5
+
+    packed = jnp.concatenate(
+        [means2d, conics, colors, gauss_depth[:, None], opacities[:, None],
+         jnp.ones((means2d.shape[0], 1), means2d.dtype)], axis=1,
+    )
+    pad_cols = (-packed.shape[1]) % 8
+    if pad_cols:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((packed.shape[0], pad_cols), packed.dtype)], 1
+        )
+
+    def body(carry, xs):
+        gid, vld, ref_t, px_t, py_t = xs
+        g = packed[gid]                      # [chunk, L, 16] row gather
+        xy = g[..., 0:2]
+        cn = g[..., 2:5]
+        gd = g[..., 5 + C]
+        op = g[..., 6 + C]
+        ce = jnp.concatenate([g[..., 5:5 + C], g[..., 7 + C:8 + C]], -1)
+
+        dx = xy[..., None, 0] - px_t[:, None, :]   # [chunk, L, P]
+        dy = xy[..., None, 1] - py_t[:, None, :]
+        sigma = (
+            0.5 * (cn[..., None, 0] * dx * dx + cn[..., None, 2] * dy * dy)
+            + cn[..., None, 1] * dx * dy
+        )
+        alpha = jnp.minimum(0.999, op[..., None] * jnp.exp(-sigma))
+        keep = (
+            vld[..., None]
+            & (sigma >= 0.0)
+            & (alpha >= 1.0 / 255.0)
+            & (gd[..., None] <= ref_t[:, None, :] + delta_depth)
+        )
+        w = jnp.where(keep, alpha, 0.0)            # [chunk, L, P]
+        out = jnp.einsum(
+            "clp,clk->cpk", w.astype(jnp.bfloat16), ce.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )                                           # [chunk, P, C+1]
+        return carry, out
+
+    xs = tuple(
+        x.reshape(n_chunks, chunk, *x.shape[1:])
+        for x in (gids, valid, ref_tiles, px, py)
+    )
+    _, outs = jax.lax.scan(body, None, xs)
+    out = outs.reshape(A_pad, P, C + 1)
+
+    # scatter into the full tile grid (padding rows target tile T -> drop)
+    full = jnp.zeros((T, P, C + 1), out.dtype).at[tiles].set(out, mode="drop")
+    img = (
+        full.reshape(tile_h, tile_w, tile_size, tile_size, C + 1)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(tile_h * tile_size, tile_w * tile_size, C + 1)
+    )[:height, :width]
+    return img[..., :C], img[..., C]
 
 
 def ges_rasterize(

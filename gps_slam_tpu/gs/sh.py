@@ -42,17 +42,27 @@ def sh_to_rgb(sh: jax.Array) -> jax.Array:
 
 
 def eval_sh(degree: int, dirs: jax.Array, coeffs: jax.Array,
-            mask: jax.Array | None = None) -> jax.Array:
+            mask: jax.Array | None = None,
+            active_degree: jax.Array | None = None) -> jax.Array:
     """Evaluate SH color.
 
     dirs   [N, 3] view directions (not necessarily normalized)
     coeffs [N, K, 3] with K >= num_sh_bases(degree)
     mask   [N] optional visibility mask (invisible -> zeros, matching the
            reference kernel's masked evaluation)
+    active_degree  optional traced int32: bands above it contribute zero —
+           the SH warm-up schedule (the reference ramps curr_sh_degree by
+           one every sh_degree_interval iterations, raw_gs_model.cpp:23 +
+           oneUpShDegree in the train loops).  `degree` stays the static
+           compile-time bound.
 
     Returns colors [N, 3] (pre-offset; callers add 0.5 and clamp, see
     raw_gs_model.cpp:257).
     """
+    def band_on(b):
+        if active_degree is None:
+            return 1.0
+        return (active_degree >= b).astype(jnp.float32)
     # eps inside the rsqrt keeps the gradient finite at dirs == 0 (dead
     # pool slots sit at the origin; jnp.linalg.norm would emit NaN
     # cotangents there even under the visibility mask)
@@ -62,11 +72,13 @@ def eval_sh(degree: int, dirs: jax.Array, coeffs: jax.Array,
 
     res = C0 * coeffs[:, 0]
     if degree >= 1:
-        res = res + C1 * (-y * coeffs[:, 1] + z * coeffs[:, 2] - x * coeffs[:, 3])
+        res = res + band_on(1) * C1 * (
+            -y * coeffs[:, 1] + z * coeffs[:, 2] - x * coeffs[:, 3]
+        )
     if degree >= 2:
         xx, yy, zz = x * x, y * y, z * z
         xy, yz, xz = x * y, y * z, x * z
-        res = res + (
+        res = res + band_on(2) * (
             C2[0] * xy * coeffs[:, 4]
             + C2[1] * yz * coeffs[:, 5]
             + C2[2] * (2.0 * zz - xx - yy) * coeffs[:, 6]
@@ -74,7 +86,7 @@ def eval_sh(degree: int, dirs: jax.Array, coeffs: jax.Array,
             + C2[4] * (xx - yy) * coeffs[:, 8]
         )
     if degree >= 3:
-        res = res + (
+        res = res + band_on(3) * (
             C3[0] * y * (3.0 * xx - yy) * coeffs[:, 9]
             + C3[1] * xy * z * coeffs[:, 10]
             + C3[2] * y * (4.0 * zz - xx - yy) * coeffs[:, 11]
@@ -86,7 +98,7 @@ def eval_sh(degree: int, dirs: jax.Array, coeffs: jax.Array,
     if degree >= 4:
         xx, yy, zz = x * x, y * y, z * z
         xy, yz, xz = x * y, y * z, x * z
-        res = res + (
+        res = res + band_on(4) * (
             C4[0] * xy * (xx - yy) * coeffs[:, 16]
             + C4[1] * yz * (3.0 * xx - yy) * coeffs[:, 17]
             + C4[2] * xy * (7.0 * zz - 1.0) * coeffs[:, 18]

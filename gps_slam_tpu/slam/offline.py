@@ -92,6 +92,10 @@ class OfflinePipeline:
         vis_count = jnp.zeros((model.pool.capacity,))
         tx_cfg = gmodel.tx_cfg_tuple(m)
         densify_on = cfg.pipe.enable_densify
+        if densify_on:
+            # densify's Adam-moment surgery is aligned to fixed pool rows —
+            # the compact-prefix fast path must not permute them
+            model.pool_compact = False
 
         cam_dev = [
             {

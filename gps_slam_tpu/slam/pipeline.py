@@ -252,7 +252,8 @@ class SLAMPipeline:
     # -------------------------------------------------------------- optimize
 
     def local_optimize(self, model: GaussianModel) -> None:
-        """(localOptimize :195-291): static-shape batch, scanned Adam."""
+        """(localOptimize :195-291): static-shape batch, scanned Adam over
+        the compact pool prefix with per-window binning reuse."""
         p = self.pipe
         n_valid = len(self.opt_cam_list)
         if n_valid == 0:
@@ -273,13 +274,25 @@ class SLAMPipeline:
                 [self.opt_cam_list[i].id for i in idx_pad], jnp.int32
             ),
         }
+        if p.depth_weight > 0:
+            def get_depth(i):
+                d = self.frame_cache.get(self.opt_cam_list[i])[1]
+                return d[..., 0] if d.ndim == 3 else d
+            batch["gt_depth"] = stack(get_depth)
         iter_idx = jnp.asarray(
             self._rng.integers(0, n_valid, p.local_opt_iters), jnp.int32
         )
-        model.init_optimizers()
-        model.pool, model.opt_state, aux = gmodel.local_optimize(
-            model.pool, model.opt_state, batch, iter_idx, model.statics,
-            gmodel.tx_cfg_tuple(self.cfg.model), p.max_iterations, p.ssim_weight,
+        # SH warm-up: raise the active degree every sh_degree_interval
+        # iterations (raw_gs_model.cpp:23 / oneUpShDegree)
+        m = self.cfg.model
+        active_deg = min(
+            self.curr_iter // max(m.sh_degree_interval, 1), m.sh_degree
+        )
+        model.pool, aux = gmodel.window_optimize(
+            model.pool, batch, iter_idx, model.statics,
+            gmodel.tx_cfg_tuple(m), p.max_iterations, p.ssim_weight,
+            p.depth_weight, model.opt_cap(),
+            jnp.asarray(active_deg, jnp.int32),
         )
         self.curr_iter += p.local_opt_iters
         if self._tb is not None and p.log_slam_state:
@@ -322,6 +335,10 @@ class SLAMPipeline:
             jnp.asarray(p.remove_large_scale_thres),
             jnp.asarray(p.remove_low_opac_thres),
         )
+        # restore the compact-prefix invariant the window optimizer relies on
+        from ..gs import params as pmod
+
+        model.pool = pmod.compact(model.pool)
 
     # ------------------------------------------------------------------ eval
 

@@ -168,8 +168,8 @@ class TsdfEngine:
         p = self.vol.params
         return rc_tiles.raycast(
             self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
-            width, height, p.raycast_lb, p.raycast_samples, p.raycast_bisect,
-            p.raycast_chunk,
+            width, height, p.raycast_lb, p.raycast_samples,
+            max(p.raycast_bisect, 8), p.raycast_chunk,
         )
 
     # -- persistence -----------------------------------------------------------

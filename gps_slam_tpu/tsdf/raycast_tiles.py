@@ -10,16 +10,28 @@ step x 64 steps; this design performs ZERO per-element gathers on the
 pixel path:
 
   1. *Surface blocks* (incrementally summarized during fusion: any
-     integrated voxel with sdf below threshold) are projected and binned
-     into per-16x16-tile, depth-sorted, fixed-width candidate lists — one
-     XLA sort, exactly like the Gaussian rasterizer.
+     integrated voxel with sdf below threshold) are projected
+     (center + bounding radius) and binned into per-16x16-tile fixed-width
+     candidate lists — one XLA sort by tile id, exactly like the Gaussian
+     rasterizer.  Depth ordering is NOT baked into the lists; candidate
+     blocks are ranked per pixel by ray-entry depth instead, which removes
+     the second (depth) sort pass.
   2. Each tile's block payloads (4^3 sdf mip, full 8^3 sdf, weights,
-     colors) are fetched with contiguous ROW gathers.
+     colors) are fetched with contiguous ROW gathers and cast to bf16
+     (sdf is normalized to [-1, 1]; bf16's 8-bit mantissa localizes the
+     surface to ~0.4% of mu ~ 0.1 mm, far below sensor noise).
   3. Per pixel: ray-AABB intersection against the tile's blocks (pure
-     arithmetic), a fixed number of coarse samples against the 4^3 mip
-     evaluated as ONE-HOT x data contractions on the MXU, bisection +
-     secant refinement against the full-resolution block, and a final
-     trilinear read expressed as a weight-vector contraction.
+     arithmetic), a fixed number of coarse samples against the 4^3 mip as
+     separable hat-weight contractions, then for the best K candidate
+     blocks a BATCHED two-stage refinement — one 8^3-cube selection matmul
+     per candidate and two batched multi-sample trilinear evaluations that
+     bracket the zero crossing + a secant step.  (The previous design ran
+     ~44 sequential single-sample cube evaluations per pixel, each
+     re-reading the selected cube from HBM — the batched form reads it
+     ~4x total.)
+  4. The final confidence/color trilinear read contracts the per-pixel
+     512-weight vector against the tile's payload rows and the winner's
+     one-hot — never materializing a per-pixel color cube.
 
 Output semantics match the reference raycaster: world vertex map, camera
 depth, trilinear voxel color, trilinear-weight confidence (+1 on hit),
@@ -51,8 +63,9 @@ def _tile_bins(
     lb: int,
     span_cap: int,
 ):
-    """Depth-sorted per-tile surface-block lists.
-    Returns (gids [T, LB] pool ids, valid [T, LB], n_overflow)."""
+    """Per-tile surface-block lists (tile order only — per-pixel depth
+    ranking happens in the march).  Returns (gids [T, LB], valid [T, LB],
+    n_overflow)."""
     p = vol.params
     tw = -(-width // TILE)
     th = -(-height // TILE)
@@ -74,9 +87,12 @@ def _tile_bins(
     vmask = vis_idx >= 0
     vsafe = jnp.where(vmask, vis_idx, 0)
 
-    # tile bbox from projected corners (conservative)
+    # tile bbox from the 8 projected corners (conservative; correctly
+    # culls blocks near/behind the camera plane, where a center+radius
+    # bound degenerates to the whole screen and would spam every tile's
+    # depth-ordered list with near-camera junk)
     offs = jnp.array(
-        [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        [[ox, oy, oz] for ox in (0, 1) for oy in (0, 1) for oz in (0, 1)],
         jnp.float32,
     ) * (p.voxel_size * BLOCK)
     pts = corner[vsafe][:, None, :] + offs[None]
@@ -109,17 +125,34 @@ def _tile_bins(
     ok = vmask[:, None] & (dx[None] < span_x[:, None]) & (dy[None] < span_y[:, None])
     tile_id = jnp.where(ok, ty * tw + tx, T)
     gid = jnp.broadcast_to(vsafe[:, None], tile_id.shape)
-    zkey = jax.lax.bitcast_convert_type(
-        jnp.maximum(zc[vsafe], 0.0), jnp.int32
-    )
-    zs = jnp.broadcast_to(zkey[:, None], tile_id.shape).reshape(-1)
 
-    flat_tile = tile_id.reshape(-1)
     flat_gid = gid.reshape(-1)
-    o1 = jnp.argsort(zs)
-    o2 = jnp.argsort(flat_tile[o1], stable=True)
-    order = o1[o2]
-    keys_s = flat_tile[order]
+    if T < 4096:
+        # ONE sort on a combined key: tile id (12 bits) | quantized block
+        # depth (20 bits).  Depth order within each tile makes the lb
+        # clipping keep the NEAREST blocks — overflow then only drops far
+        # (occluded) candidates, mirroring the reference's per-tile
+        # depth-sorted intersection lists (isect_tiles.cu).
+        zq = jnp.clip(
+            zc[vsafe] / p.frustum_max * ((1 << 20) - 1), 0, (1 << 20) - 1
+        ).astype(jnp.uint32)
+        combined = (
+            tile_id.astype(jnp.uint32) << 20
+        ) | jnp.broadcast_to(zq[:, None], tile_id.shape)
+        order = jnp.argsort(combined.reshape(-1))
+        keys_s = (combined.reshape(-1) >> 20).astype(jnp.int32)[order]
+    else:
+        # wide-image fallback: tile ids no longer fit 12 bits -> two-pass
+        # stable sort (depth, then tile)
+        zkey = jax.lax.bitcast_convert_type(
+            jnp.maximum(zc[vsafe], 0.0), jnp.int32
+        )
+        zs = jnp.broadcast_to(zkey[:, None], tile_id.shape).reshape(-1)
+        flat_tile = tile_id.reshape(-1)
+        o1 = jnp.argsort(zs)
+        o2 = jnp.argsort(flat_tile[o1], stable=True)
+        order = o1[o2]
+        keys_s = flat_tile[order]
     gids_s = flat_gid[order]
     offsets = jnp.searchsorted(keys_s, jnp.arange(T + 1, dtype=jnp.int32))
     counts = offsets[1:] - offsets[:-1]
@@ -131,7 +164,7 @@ def _tile_bins(
     return gids_t, valid, n_overflow
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def raycast(
     vol: TsdfVolume,
     c2w: jax.Array,
@@ -140,10 +173,11 @@ def raycast(
     height: int,
     lb: int = 16,           # blocks per tile
     s_coarse: int = 4,      # coarse samples per (ray, block)
-    n_bisect: int = 6,
+    s_refine: int = 8,      # samples per batched refinement stage (2 stages)
     chunk: int = 32,        # tiles per scan step
+    k_blocks: int = 2,      # candidate blocks refined per pixel
 ):
-    """Returns the same map dict as raycast.raycast."""
+    """Returns the same map dict as the legacy hash-march raycaster."""
     p = vol.params
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     R, t = c2w[:3, :3], c2w[:3, 3]
@@ -162,29 +196,28 @@ def raycast(
         vis_cap=p.visible_capacity, lb=lb, span_cap=6,
     )
 
-    # row-gathered tile payloads
-    sdf_rows = vol.sdf[gids]                       # [T, LB, 512]
-    mip_rows = vol.mip[gids]                       # [T, LB, 64]
-    w_rows = vol.w_depth[gids].astype(jnp.float32) # [T, LB, 512]
-    c_rows = vol.color[gids]                       # [T, LB, 512, 3] u8
+    # row-gathered tile payloads (cast to bf16 once, outside the scan)
+    sdf_rows = vol.sdf[gids].astype(jnp.bfloat16)      # [T, LB, 512]
+    mip_rows = vol.mip[gids].astype(jnp.bfloat16)      # [T, LB, 64]
+    w_rows = vol.w_depth[gids].astype(jnp.bfloat16)    # [T, LB, 512]
+    c_rows = vol.color[gids].astype(jnp.bfloat16)      # [T, LB, 512, 3]
     bx, by, bz = vhash.unpack(vol.block_coords[gids])
     block_org = jnp.stack([bx, by, bz], -1).astype(jnp.float32) * (
         p.voxel_size * BLOCK
-    )                                              # [T, LB, 3] world min corner
+    )                                                  # [T, LB, 3] world min corner
 
     # per-tile pixel grids (t parameterizes camera DEPTH: dir_cam z = 1)
     tids = jnp.arange(T, dtype=jnp.int32)
     tx0 = (tids % tw).astype(jnp.float32) * TILE
     ty0 = (tids // tw).astype(jnp.float32) * TILE
     pp = jnp.arange(P, dtype=jnp.float32)
-    px = tx0[:, None] + (pp % TILE)[None] + 0.5    # [T, P]
+    px = tx0[:, None] + (pp % TILE)[None] + 0.5        # [T, P]
     py = ty0[:, None] + (pp // TILE)[None] + 0.5
     dirx = (px - cx) / fx
     diry = (py - cy) / fy
-    # world direction for depth-parameterized rays
     dir_w = (
         dirx[..., None] * R[:, 0] + diry[..., None] * R[:, 1] + R[:, 2]
-    )                                              # [T, P, 3]
+    )                                                  # [T, P, 3]
     origin = t
 
     n_chunks = -(-T // chunk)
@@ -203,32 +236,33 @@ def raycast(
     )
 
     inv_vox = 1.0 / p.voxel_size
+    NEAR = 0.9
 
     def hat(l, n):
-        """Separable linear-interpolation weights: w[i] = max(0, 1-|l-i|).
-        Trilinear sampling factorizes into three of these contractions —
-        no 512-wide one-hot needed."""
+        """Separable linear-interpolation weights (bf16): w[i] =
+        max(0, 1-|l-i|).  Trilinear sampling factorizes into three of
+        these contractions."""
         iota = jax.lax.broadcasted_iota(jnp.float32, (*l.shape, n), l.ndim)
-        return jnp.maximum(0.0, 1.0 - jnp.abs(l[..., None] - iota))
+        return jnp.maximum(0.0, 1.0 - jnp.abs(l[..., None] - iota)).astype(jnp.bfloat16)
 
     def body(carry, xs_c):
         gid, vld, sdf_r, mip_r, w_r, c_r, borg, dw = xs_c
         cdim = gid.shape[0]
         # ray-AABB (slab method, depth-parameterized)
         o = origin[None, None, None, :]
-        d = dw[:, :, None, :]                      # [c, P, 1, 3]
-        bmin = borg[:, None, :, :]                 # [c, 1, LB, 3]
+        d = dw[:, :, None, :]                          # [c, P, 1, 3]
+        bmin = borg[:, None, :, :]                     # [c, 1, LB, 3]
         bmax = bmin + p.voxel_size * BLOCK
         dsafe = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
         ta = (bmin - o) / dsafe
         tb = (bmax - o) / dsafe
-        t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)  # [c, P, LB]
+        t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)     # [c, P, LB]
         t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
         t0 = jnp.maximum(t0, p.frustum_min)
         t1 = jnp.minimum(t1, p.frustum_max)
         hit_box = (t1 > t0) & vld[:, None, :]
 
-        # coarse samples against the 4^3 mip (separable nearest weights)
+        # coarse samples against the 4^3 mip (separable hat weights, bf16)
         s = (jnp.arange(s_coarse, dtype=jnp.float32) + 0.5) / s_coarse
         ts = t0[..., None] + (t1 - t0)[..., None] * s  # [c, P, LB, S]
         pos = o[..., None, :] + d[..., None, :] * ts[..., None]
@@ -238,145 +272,154 @@ def raycast(
         wxc = hat(lq[..., 0], 4)
         wyc = hat(lq[..., 1], 4)
         wzc = hat(lq[..., 2], 4)
-        v1 = jnp.einsum("clzyx,cplsx->cplszy", mip_cube, wxc)
-        v2 = jnp.einsum("cplszy,cplsy->cplsz", v1, wyc)
-        sval = jnp.einsum("cplsz,cplsz->cpls", v2, wzc)
+        v1 = jnp.einsum("clzyx,cplsx->cplszy", mip_cube, wxc,
+                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        v2 = jnp.einsum("cplszy,cplsy->cplsz", v1, wyc,
+                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        sval = jnp.einsum("cplsz,cplsz->cpls", v2, wzc,
+                          preferred_element_type=jnp.float32)
 
-        NEAR = 0.9
         neg = (sval < 0.0) & hit_box[..., None]
         near = (sval < NEAR) & hit_box[..., None]
         candidate = jnp.any(near.reshape(cdim, P, lb * s_coarse), -1)
+        has_neg = jnp.any(neg, -1)                              # [c,P,LB]
+        minval = jnp.min(jnp.where(hit_box[..., None], sval, jnp.inf), -1)
 
-        # per-block min sampled value -> top-K candidate blocks, priority
-        # to blocks with an outright negative sample nearest the camera
-        minval = jnp.min(jnp.where(hit_box[..., None], sval, jnp.inf), -1)  # [c,P,LB]
-        has_neg = jnp.any(neg, -1)                                           # [c,P,LB]
-        # rank key: negative blocks first (by list order = depth), then dips
+        # rank: blocks with a negative sample first, nearest ray entry
+        # first (replaces the depth-sorted list order of the old design);
+        # then "near" dips by their minimum value
         order_key = jnp.where(
-            has_neg,
-            jax.lax.broadcasted_iota(jnp.float32, has_neg.shape, 2) - 1e3,
+            has_neg, t0 - 1e4,
             jnp.where(minval < NEAR, minval, jnp.inf),
         )
 
-        def select_block(l_slot):
+        def tri_eval_batch(sdf_cube, borg_sel, t_q):
+            """Trilinear sdf at a batch of depths t_q [c,P,S] against each
+            pixel's selected 8^3 cube.  One batched separable contraction."""
+            posq = o[..., 0, :][:, :, None, :] + dw[:, :, None, :] * t_q[..., None]
+            localq = jnp.clip((posq - borg_sel[:, :, None, :]) * inv_vox,
+                              0.0, BLOCK - 1.0)
+            wx = hat(localq[..., 0], 8)                 # [c,P,S,8]
+            wy = hat(localq[..., 1], 8)
+            wz = hat(localq[..., 2], 8)
+            u1 = jnp.einsum("cpzyx,cpsx->cpszy", sdf_cube, wx,
+                            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            u2 = jnp.einsum("cpszy,cpsy->cpsz", u1, wy,
+                            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return jnp.einsum("cpsz,cpsz->cps", u2, wz,
+                              preferred_element_type=jnp.float32)
+
+        lin1 = jnp.arange(s_refine, dtype=jnp.float32) / (s_refine - 1)
+
+        def refine_block(l_slot):
+            """Select one candidate block per pixel, bracket its crossing
+            from the coarse samples, then run two batched refinement
+            stages + a secant step."""
             ohl = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, 1, lb), 2)
                 == l_slot[..., None]
-            ).astype(jnp.bfloat16)
-            sdf_sel = jnp.einsum("cpl,clk->cpk", ohl, sdf_r.astype(jnp.bfloat16),
+            ).astype(jnp.bfloat16)                      # [c,P,LB]
+            sdf_sel = jnp.einsum("cpl,clk->cpk", ohl, sdf_r,
                                  preferred_element_type=jnp.float32)
-            borg_sel = jnp.sum(
-                jnp.where(
-                    (jax.lax.broadcasted_iota(jnp.int32, (1, 1, lb, 1), 2)
-                     == l_slot[..., None, None]), borg[:, None], 0.0),
-                axis=2,
-            )
-            return ohl, sdf_sel, borg_sel
-
-        def sample_tri_cube(tq, sdf_cube, borg_sel):
-            posq = o[..., 0, :] + dw * tq[..., None]
-            localq = jnp.clip((posq - borg_sel) * inv_vox, 0.0, BLOCK - 1.0)
-            wx = hat(localq[..., 0], 8)
-            wy = hat(localq[..., 1], 8)
-            wz = hat(localq[..., 2], 8)
-            u1 = jnp.einsum("cpzyx,cpx->cpzy", sdf_cube, wx)
-            u2 = jnp.einsum("cpzy,cpy->cpz", u1, wy)
-            return jnp.einsum("cpz,cpz->cp", u2, wz)
-
-        S_FINE = 8
-
-        def fine_scan(l_slot):
-            ohl, sdf_sel, borg_sel = select_block(l_slot)
-            sdf_cube = sdf_sel.reshape(cdim, P, 8, 8, 8)
+            sdf_cube = sdf_sel.astype(jnp.bfloat16).reshape(cdim, P, 8, 8, 8)
             t0_sel = jnp.take_along_axis(t0, l_slot[..., None], -1)[..., 0]
             t1_sel = jnp.take_along_axis(t1, l_slot[..., None], -1)[..., 0]
-            seg_ok = t1_sel > t0_sel
-            prev_t = t0_sel
-            prev_v = jnp.full(t0_sel.shape, 1.0)
-            lo, hi = t0_sel, t1_sel
-            ff = jnp.zeros(t0_sel.shape, bool)
-            for sf in range(S_FINE + 1):
-                tq = t0_sel + (t1_sel - t0_sel) * (sf / S_FINE)
-                vq = sample_tri_cube(tq, sdf_cube, borg_sel)
-                crossing = (~ff) & (prev_v >= 0) & (vq < 0) & seg_ok
-                lo = jnp.where(crossing, prev_t, lo)
-                hi = jnp.where(crossing, tq, hi)
-                ff = ff | crossing
-                prev_t, prev_v = tq, vq
-            return ff, lo, hi, sdf_cube, borg_sel
+            # exact f32 one-hot contraction (block origins must be exact —
+            # they anchor the local trilinear coordinates)
+            borg_sel = jnp.einsum("cpl,cld->cpd", ohl.astype(jnp.float32), borg)
+            sval_sel = jnp.take_along_axis(
+                sval, l_slot[..., None, None], 2
+            )[:, :, 0, :]                               # [c,P,S] coarse values
 
-        # scan the K best candidate blocks; keep the nearest found crossing
-        K = 4
+            # initial bracket: around the first negative coarse sample,
+            # widened by 1.25 sample spacings (the mip is a smoothed proxy
+            # of the fine sdf); whole segment if no negative sample
+            negs = sval_sel < 0
+            any_neg = jnp.any(negs, -1)
+            s_star = jnp.argmax(negs, -1).astype(jnp.float32)  # first neg
+            dt = (t1_sel - t0_sel) / s_coarse
+            ts_neg = t0_sel + (s_star + 0.5) * dt
+            lo0 = jnp.where(any_neg, jnp.maximum(ts_neg - 1.25 * dt, t0_sel), t0_sel)
+            hi0 = jnp.where(any_neg, ts_neg + 0.25 * dt, t1_sel)
+
+            def bracket_stage(lo, hi, entry_virtual=False):
+                t_q = lo[..., None] + (hi - lo)[..., None] * lin1  # [c,P,S1]
+                v_q = tri_eval_batch(sdf_cube, borg_sel, t_q)
+                if entry_virtual:
+                    # a block entered with sdf already < 0 hides a crossing
+                    # in the inter-block seam (trilinear clamps at block
+                    # faces); register it at the entry plane — the legacy
+                    # marcher's prev_v=1 initialisation did the same
+                    t_q = jnp.concatenate([lo[..., None], t_q], -1)
+                    v_q = jnp.concatenate(
+                        [jnp.full(lo[..., None].shape, 1e-3), v_q], -1
+                    )
+                crossing = (v_q[..., :-1] >= 0) & (v_q[..., 1:] < 0)   # [c,P,S1-1]
+                found = jnp.any(crossing, -1)
+                j = jnp.argmax(crossing, -1)
+                tj = jnp.take_along_axis(t_q, j[..., None], -1)[..., 0]
+                tj1 = jnp.take_along_axis(t_q, j[..., None] + 1, -1)[..., 0]
+                vj = jnp.take_along_axis(v_q, j[..., None], -1)[..., 0]
+                vj1 = jnp.take_along_axis(v_q, j[..., None] + 1, -1)[..., 0]
+                return found, tj, tj1, vj, vj1
+
+            f1, lo1, hi1, _, _ = bracket_stage(lo0, hi0)
+            # fall back to the whole segment when the mip bracket missed
+            lo1b = jnp.where(f1, lo1, t0_sel)
+            hi1b = jnp.where(f1, hi1, t1_sel)
+            f2, lo2, hi2, vlo, vhi = bracket_stage(lo1b, hi1b, entry_virtual=True)
+            denom = vlo - vhi
+            alpha = jnp.clip(
+                vlo / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom), 0.0, 1.0
+            )
+            t_star = lo2 + alpha * (hi2 - lo2)
+            return f2, t_star, ohl, borg_sel
+
         found = jnp.zeros((cdim, P), bool)
-        t_lo = jnp.zeros((cdim, P))
-        t_hi = jnp.zeros((cdim, P))
-        sdf_cube = jnp.zeros((cdim, P, 8, 8, 8))
-        borg_sel = jnp.zeros((cdim, P, 3))
+        t_star = jnp.zeros((cdim, P))
+        ohl_win = jnp.zeros((cdim, P, lb), jnp.bfloat16)
+        borg_win = jnp.zeros((cdim, P, 3))
         key = order_key
-        for _ in range(K):
+        for _ in range(k_blocks):
             l_slot = jnp.argmin(key, axis=-1).astype(jnp.int32)
-            key = key + (
+            key = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, key.shape, 2)
-                == l_slot[..., None]
-            ) * jnp.inf
-            ff, lo, hi, cube, bo = fine_scan(l_slot)
-            better = ff & (~found | (lo < t_lo))
-            t_lo = jnp.where(better, lo, t_lo)
-            t_hi = jnp.where(better, hi, t_hi)
-            sdf_cube = jnp.where(better[..., None, None, None], cube, sdf_cube)
-            borg_sel = jnp.where(better[..., None], bo, borg_sel)
-            found = found | ff
+                == l_slot[..., None],
+                jnp.inf, key,
+            )
+            fk, tk, ohl_k, borg_k = refine_block(l_slot)
+            better = fk & (~found | (tk < t_star))
+            t_star = jnp.where(better, tk, t_star)
+            ohl_win = jnp.where(better[..., None], ohl_k, ohl_win)
+            borg_win = jnp.where(better[..., None], borg_k, borg_win)
+            found = found | fk
         found = found & candidate
 
-        def sample_tri(tq):
-            return sample_tri_cube(tq, sdf_cube, borg_sel)
-
-        def bisect_body(_, state):
-            lo, hi = state
-            mid = 0.5 * (lo + hi)
-            neg_m = sample_tri(mid) < 0
-            return jnp.where(neg_m, lo, mid), jnp.where(neg_m, mid, hi)
-
-        t_lo, t_hi = jax.lax.fori_loop(0, n_bisect, bisect_body, (t_lo, t_hi))
-
-        v_lo = sample_tri(t_lo)
-        v_hi = sample_tri(t_hi)
-        denom = v_lo - v_hi
-        alpha = jnp.clip(v_lo / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom), 0.0, 1.0)
-        t_star = t_lo + alpha * (t_hi - t_lo)
-
-        # final trilinear weights at t_star (separable hats) for
-        # confidence + color; payload rows selected by matching borg_sel
-        # back to a one-hot over LB (exact float equality is safe: the
-        # values are copies)
-        # mask to valid list slots: a block spanning several tiles can
-        # reappear in this tile's spill region (entries beyond the tile's
-        # count belong to neighboring tiles in the sorted pair stream) and
-        # an unmasked equality would double-count its payload
-        ohl_f = (
-            jnp.all(borg[:, None] == borg_sel[:, :, None, :], axis=-1)
-            & vld[:, None, :]
-        ).astype(jnp.bfloat16)                                  # [c,P,LB]
+        # final trilinear weights at t_star -> fused contraction against
+        # the tile payload rows via the winner's one-hot (never
+        # materializes per-pixel weight/color cubes)
         posq = o[..., 0, :] + dw * t_star[..., None]
-        localq = jnp.clip((posq - borg_sel) * inv_vox, 0.0, BLOCK - 1.0)
+        localq = jnp.clip((posq - borg_win) * inv_vox, 0.0, BLOCK - 1.0)
         wx = hat(localq[..., 0], 8)
         wy = hat(localq[..., 1], 8)
         wz = hat(localq[..., 2], 8)
+        wzy = jnp.einsum("cpz,cpy->cpzy", wz, wy,
+                         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        wvec = jnp.einsum("cpzy,cpx->cpzyx", wzy, wx,
+                          preferred_element_type=jnp.float32).astype(
+            jnp.bfloat16).reshape(cdim, P, 512)
 
-        w_cube = jnp.einsum("cpl,clk->cpk", ohl_f, w_r.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32
-                            ).reshape(cdim, P, 8, 8, 8)
-        conf = jnp.einsum(
-            "cpz,cpz->cp",
-            jnp.einsum("cpzy,cpy->cpz",
-                       jnp.einsum("cpzyx,cpx->cpzy", w_cube, wx), wy), wz,
-        )
-        c_sel = jnp.einsum("cpl,clkd->cpkd", ohl_f, c_r.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32
-                           ).reshape(cdim, P, 8, 8, 8, 3)
-        cc1 = jnp.einsum("cpzyxd,cpx->cpzyd", c_sel, wx)
-        cc2 = jnp.einsum("cpzyd,cpy->cpzd", cc1, wy)
-        color = jnp.einsum("cpzd,cpz->cpd", cc2, wz) / 255.0
+        # mask one-hot to valid slots (spill entries beyond a tile's count
+        # belong to neighboring tiles in the sorted pair stream)
+        ohl_f = ohl_win * vld[:, None, :].astype(jnp.bfloat16)
+        w_pl = jnp.einsum("cpk,clk->cpl", wvec, w_r,
+                          preferred_element_type=jnp.float32)
+        conf = jnp.einsum("cpl,cpl->cp", w_pl,
+                          ohl_f.astype(jnp.float32))
+        c_pld = jnp.einsum("cpk,clkd->cpld", wvec, c_r,
+                           preferred_element_type=jnp.float32)
+        color = jnp.einsum("cpld,cpl->cpd", c_pld,
+                           ohl_f.astype(jnp.float32)) / 255.0
 
         depth = jnp.where(found, t_star, 0.0)
         vertex = jnp.where(found[..., None], o[..., 0, :] + dw * t_star[..., None], 0.0)

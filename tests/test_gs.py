@@ -271,3 +271,83 @@ def test_ssim_identity(rng):
     # different images -> < 1
     img2 = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
     assert float(losses.ssim_map(img, img2).mean()) < 0.9
+
+
+def test_active_rasterize_matches_dense(rng):
+    """ges_rasterize_active over active tiles == dense ges_rasterize over
+    the full grid (inactive tiles contribute exact zeros)."""
+    H, W = 64, 96
+    tw, th = W // 16, H // 16
+    n = 40
+    means2d = jnp.asarray(
+        rng.uniform([8, 8], [W - 8, H - 8], (n, 2)).astype(np.float32)
+    )
+    conics = jnp.tile(jnp.asarray([[0.08, 0.0, 0.08]], jnp.float32), (n, 1))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 4)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    radii = jnp.full((n,), 10, jnp.int32)
+    ref = jnp.full((H, W), 1000.0)
+
+    dense = rasterize.bin_gaussians(means2d, radii, 16, tw, th, 64, 16, 32)
+    act = rasterize.bin_gaussians_active(
+        means2d, radii, 16, tw, th, 64, 16, 32, active_cap=tw * th
+    )
+    img_d, ws_d = rasterize.ges_rasterize(
+        means2d, conics, colors, opac, dense, ref, depths, 0.1, W, H, 16
+    )
+    img_a, ws_a = rasterize.ges_rasterize_active(
+        means2d, conics, colors, opac, act, ref, depths, 0.1, W, H, 16
+    )
+    np.testing.assert_allclose(np.asarray(img_d), np.asarray(img_a),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(ws_d), np.asarray(ws_a),
+                               atol=2e-2, rtol=2e-2)
+    # the small-cap path drops overflowing tiles and reports it
+    act_small = rasterize.bin_gaussians_active(
+        means2d, radii, 16, tw, th, 64, 16, 32, active_cap=2
+    )
+    assert int(act_small.n_active_overflow) > 0
+
+
+def test_morton_knn_matches_exact(rng):
+    from gps_slam_tpu.gs import knn
+
+    pts = jnp.asarray(rng.uniform(size=(800, 3)).astype(np.float32))
+    exact = np.asarray(knn.mean_dist_sq_3nn(pts))
+    approx = np.asarray(knn.mean_dist_sq_3nn_morton(pts, 64))
+    rel = np.abs(approx - exact) / np.maximum(exact, 1e-12)
+    # morton-window kNN is exact for the majority of points and only
+    # overestimates at curve discontinuities
+    assert np.median(rel) < 0.05, np.median(rel)
+    assert np.mean(rel < 0.5) > 0.85, np.mean(rel < 0.5)
+    # sentinel rows must not destroy the quantization of real points
+    pts2 = jnp.concatenate([pts, jnp.full((200, 3), 1e6)], 0)
+    valid = jnp.concatenate([jnp.ones(800, bool), jnp.zeros(200, bool)])
+    a2 = np.asarray(knn.mean_dist_sq_3nn_morton(pts2, 64, valid=valid))[:800]
+    rel2 = np.abs(a2 - exact) / np.maximum(exact, 1e-12)
+    assert np.median(rel2) < 0.05, np.median(rel2)
+
+
+def test_pool_compact_preserves_rows(rng):
+    pool = pmod.create(64, sh_degree=1)
+    n = 20
+    attrs = {
+        "means": jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        "scales": jnp.zeros((n, 3)), "quats": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (n, 1)),
+        "features_dc": jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        "features_rest": jnp.zeros((n, 3, 3)), "opacities": jnp.zeros((n, 1)),
+    }
+    pool = pmod.add(pool, attrs, jnp.asarray(n, jnp.int32))
+    kill = jnp.zeros(64, bool).at[jnp.asarray([2, 5, 11])].set(True)
+    pool = pmod.remove(pool, kill)
+    pool_c = pmod.compact(pool)
+    assert int(pool_c.n_alive) == n - 3
+    # prefix fully alive, tail dead
+    assert bool(pool_c.alive[: n - 3].all())
+    assert not bool(pool_c.alive[n - 3:].any())
+    # surviving rows preserved (stable order)
+    keep = [i for i in range(n) if i not in (2, 5, 11)]
+    np.testing.assert_allclose(
+        np.asarray(pool_c.means[: n - 3]), np.asarray(pool.means)[keep]
+    )

@@ -51,14 +51,14 @@ def test_spawn_and_optimize_reduces_loss(tmp_path):
         "base_color": black[None],
         "cam_id": jnp.zeros((1,), jnp.int32),
     }
-    m.init_optimizers()
     res0 = m.forward(cam.c2w, cam.K, zero_depth, black)
     loss0 = float(jnp.abs(res0["rgb"] - batch["gt_rgb"][0]).mean())
 
     idxs = jnp.zeros((60,), jnp.int32)
-    m.pool, m.opt_state, aux = gmodel.local_optimize(
-        m.pool, m.opt_state, batch, idxs, m.statics,
-        gmodel.tx_cfg_tuple(cfg.model), cfg.pipe.max_iterations, 0.0,
+    m.pool, aux = gmodel.window_optimize(
+        m.pool, batch, idxs, m.statics,
+        gmodel.tx_cfg_tuple(cfg.model), cfg.pipe.max_iterations, 0.0, 0.0,
+        m.opt_cap(), jnp.asarray(3, jnp.int32),
     )
     hist = np.asarray(aux["loss_hist"])
     assert hist[-1] < hist[0] * 0.7, hist[[0, -1]]
