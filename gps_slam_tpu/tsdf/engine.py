@@ -166,11 +166,33 @@ class TsdfEngine:
         width = width or self.width
         height = height or self.height
         p = self.vol.params
+        if self._use_pallas_raycast():
+            from . import raycast_pallas as rc_pallas
+
+            return rc_pallas.raycast(
+                self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
+                width, height, p.raycast_lb, p.raycast_samples,
+                max(p.raycast_bisect, 8), 2, 4,
+            )
         return rc_tiles.raycast(
             self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
             width, height, p.raycast_lb, p.raycast_samples,
             max(p.raycast_bisect, 8), p.raycast_chunk,
         )
+
+    def _use_pallas_raycast(self) -> bool:
+        """The Mosaic march kernel needs a real TPU backend; the XLA
+        formulation serves every other platform (and remains the oracle
+        the kernel is tested against)."""
+        if getattr(self, "_pallas_override", None) is not None:
+            return self._pallas_override
+        try:
+            # check where the volume actually lives, NOT
+            # jax.default_backend(): the axon TPU plugin reports 'tpu'
+            # even when JAX_PLATFORMS/jax_default_device pin CPU
+            return next(iter(self.vol.sdf.devices())).platform == "tpu"
+        except Exception:
+            return False
 
     # -- persistence -----------------------------------------------------------
 

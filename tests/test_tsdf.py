@@ -275,3 +275,57 @@ def test_raycast_insensitive_to_tile_list_capacity(fused_volume):
     # color error must be small against gt at hits (catches double counting)
     cerr = np.abs(np.asarray(outs[32]["color_map"])[d32 > 0] - cam.image[d32 > 0]).mean()
     assert cerr < 0.08, cerr
+
+
+def test_tile_raycast_depth_matches_gt(fused_volume):
+    """GT-accuracy gate on the PRODUCTION tile raycaster (the pipeline
+    path, engine.run_raycast -> raycast_tiles.raycast); the hash-march
+    test above gates only the legacy oracle."""
+    from gps_slam_tpu.tsdf import raycast_tiles as rct
+
+    vol, cams = fused_volume
+    cam = cams[2]
+    maps = rct.raycast(
+        vol, jnp.asarray(cam.c2w), jnp.asarray(cam.K),
+        cam.width, cam.height, 24, 4, 8, 32, 2,
+    )
+    depth = np.asarray(maps["depth_map"])[..., 0]
+    gt = cam.depth[..., 0]
+    hit = depth > 0
+    assert hit.mean() > 0.9, f"hit ratio {hit.mean()}"
+    err = np.abs(depth[hit] - gt[hit])
+    assert np.median(err) < vol.params.voxel_size, np.median(err)
+    cerr = np.abs(np.asarray(maps["color_map"])[hit] - cam.image[hit]).mean()
+    assert cerr < 0.15, cerr
+    conf = np.asarray(maps["confidence_map"])[..., 0]
+    assert (conf[hit] > 0).all()
+    assert (conf[~hit] == 0).all()
+
+
+def test_pallas_raycast_matches_xla(fused_volume):
+    """The Mosaic march kernel (interpret mode on CPU) must agree with the
+    XLA tile raycaster it replaces on TPU."""
+    from gps_slam_tpu.tsdf import raycast_pallas as rcp
+    from gps_slam_tpu.tsdf import raycast_tiles as rct
+
+    vol, cams = fused_volume
+    cam = cams[2]
+    out_x = rct.raycast(
+        vol, jnp.asarray(cam.c2w), jnp.asarray(cam.K),
+        cam.width, cam.height, 24, 4, 8, 32, 2,
+    )
+    out_p = rcp.raycast(
+        vol, jnp.asarray(cam.c2w), jnp.asarray(cam.K),
+        cam.width, cam.height, 24, 4, 8, 2, 4, interpret=True,
+    )
+    dx = np.asarray(out_x["depth_map"])[..., 0]
+    dp = np.asarray(out_p["depth_map"])[..., 0]
+    # hit masks agree except at a few silhouette rays
+    assert np.mean((dx > 0) != (dp > 0)) < 0.05
+    both = (dx > 0) & (dp > 0)
+    assert np.mean(np.abs(dx - dp)[both] < 2 * vol.params.voxel_size) > 0.97
+    gt = cam.depth[..., 0]
+    err_p = np.abs(dp - gt)[dp > 0]
+    assert np.median(err_p) < vol.params.voxel_size, np.median(err_p)
+    cerr = np.abs(np.asarray(out_p["color_map"])[dp > 0] - cam.image[dp > 0]).mean()
+    assert cerr < 0.15, cerr
