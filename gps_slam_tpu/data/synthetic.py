@@ -95,23 +95,37 @@ def render_frame(
     return rgb, depth
 
 
-def orbit_poses(n_frames: int, radius: float = 0.8) -> list[np.ndarray]:
-    """Camera trajectory: slow orbit around the room center looking outward
-    at the walls, with slight height bob.  Look-at construction with
-    y-down camera convention (x right, y down, z forward)."""
+def orbit_poses(n_frames: int, radius: float = 0.8,
+                look: str = "out", arc: float = 0.75) -> list[np.ndarray]:
+    """Camera trajectory: slow orbit around the room center, with slight
+    height bob.  Look-at construction with y-down camera convention
+    (x right, y down, z forward).
+
+    look="out": at the walls (the texture-rich render fixture).
+    look="in":  across the room at the inner box — every view contains
+    the box corners plus floor and the far wall, so point-to-plane ICP is
+    fully constrained (the outward orbit stares at single planes, which
+    is rank-deficient geometry by construction)."""
     center = ROOM * 0.5
     poses = []
     for k in range(n_frames):
-        ang = 2.0 * np.pi * k / max(n_frames, 1) * 0.75
-        eye = center + np.array(
-            [radius * np.cos(ang), 0.15 * np.sin(3 * ang), radius * np.sin(ang)],
-            dtype=np.float32,
-        )
-        # look outward toward the wall in the orbit direction
-        target = center + np.array(
-            [2.5 * np.cos(ang + 0.35), 0.3 * np.sin(2 * ang), 2.5 * np.sin(ang + 0.35)],
-            dtype=np.float32,
-        )
+        ang = 2.0 * np.pi * k / max(n_frames, 1) * arc
+        if look == "in":
+            eye = center + np.array(
+                [1.6 * np.cos(ang), 0.4 + 0.1 * np.sin(3 * ang), 1.6 * np.sin(ang)],
+                dtype=np.float32,
+            )
+            target = np.array([2.0, 1.0, 2.1], dtype=np.float32)  # box top
+        else:
+            eye = center + np.array(
+                [radius * np.cos(ang), 0.15 * np.sin(3 * ang), radius * np.sin(ang)],
+                dtype=np.float32,
+            )
+            # look outward toward the wall in the orbit direction
+            target = center + np.array(
+                [2.5 * np.cos(ang + 0.35), 0.3 * np.sin(2 * ang), 2.5 * np.sin(ang + 0.35)],
+                dtype=np.float32,
+            )
         z = target - eye
         z = z / np.linalg.norm(z)
         up = np.array([0.0, -1.0, 0.0], dtype=np.float32)  # y-down convention
@@ -129,12 +143,14 @@ def make_cameras(
     width: int = 160,
     height: int = 120,
     fov_scale: float = 1.0,
+    look: str = "out",
+    arc: float = 0.75,
 ) -> list[Camera]:
     """In-memory synthetic sequence (fast unit-test path)."""
     fx = fy = 0.75 * width * fov_scale
     cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
     cams = []
-    for k, c2w in enumerate(orbit_poses(n_frames)):
+    for k, c2w in enumerate(orbit_poses(n_frames, look=look, arc=arc)):
         cam = Camera(width, height, fx, fy, cx, cy, True, c2w, f"mem/frame{k:06d}.jpg", "", k)
         cam.image, cam.depth = render_frame(c2w, width, height, fx, fy, cx, cy)
         cams.append(cam)

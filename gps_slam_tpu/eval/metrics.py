@@ -57,7 +57,16 @@ _LPIPS_TRIED = False
 
 
 def lpips(a: np.ndarray, b: np.ndarray):
-    """LPIPS(vgg) when pretrained weights are available, else None."""
+    """TRUE LPIPS(vgg) — learned linear weights over VGG features, the
+    exact metric the reference vendors (scripts/lpipsPyTorch/modules/
+    lpips.py).  Requires the `lpips` package (or its vendored weights) to
+    be importable; when it is not, returns None — callers serialize that
+    as JSON null and MUST NOT compare against published LPIPS numbers.
+
+    Deliberately NO silent stand-in: an unweighted VGG feature distance is
+    a different metric and reporting it under the LPIPS name would make
+    quality comparisons wrong.  `vgg_perceptual` below exposes that
+    distance under its own honest name when torchvision weights exist."""
     global _LPIPS, _LPIPS_TRIED
     if not _LPIPS_TRIED:
         _LPIPS_TRIED = True
@@ -65,26 +74,53 @@ def lpips(a: np.ndarray, b: np.ndarray):
             import lpips as lpips_pkg  # type: ignore
             import torch
 
-            _LPIPS = ("pkg", lpips_pkg.LPIPS(net="vgg"), torch)
+            _LPIPS = (lpips_pkg.LPIPS(net="vgg"), torch)
         except Exception:
-            try:
-                import torch
-                import torchvision
+            import sys
 
-                vgg = torchvision.models.vgg16(weights="IMAGENET1K_V1").features.eval()
-                _LPIPS = ("vgg", vgg, torch)
-            except Exception:
-                _LPIPS = None
+            print(
+                "[metrics] WARNING: the `lpips` package (learned "
+                "LPIPS(vgg) weights) is not available — LPIPS will be "
+                "reported as null.  Do not compare against published "
+                "LPIPS numbers without it.",
+                file=sys.stderr,
+            )
+            _LPIPS = None
     if _LPIPS is None:
         return None
-    kind, net, torch = _LPIPS
+    net, torch = _LPIPS
     ta = torch.from_numpy(np.asarray(a, np.float32)).permute(2, 0, 1)[None]
     tb = torch.from_numpy(np.asarray(b, np.float32)).permute(2, 0, 1)[None]
     with torch.no_grad():
-        if kind == "pkg":
-            return float(net(ta * 2 - 1, tb * 2 - 1))
-        # perceptual distance over normalized VGG features (LPIPS without
-        # the learned linear weights — a close stand-in)
+        return float(net(ta * 2 - 1, tb * 2 - 1))
+
+
+_VGG = None
+_VGG_TRIED = False
+
+
+def vgg_perceptual(a: np.ndarray, b: np.ndarray):
+    """Unweighted normalized-VGG-feature distance (LPIPS architecture
+    minus the learned linear layer).  A useful relative quality signal
+    when true LPIPS weights are unavailable — reported under its own
+    key, never as LPIPS.  Returns None without torchvision weights."""
+    global _VGG, _VGG_TRIED
+    if not _VGG_TRIED:
+        _VGG_TRIED = True
+        try:
+            import torch
+            import torchvision
+
+            vgg = torchvision.models.vgg16(weights="IMAGENET1K_V1").features.eval()
+            _VGG = (vgg, torch)
+        except Exception:
+            _VGG = None
+    if _VGG is None:
+        return None
+    net, torch = _VGG
+    ta = torch.from_numpy(np.asarray(a, np.float32)).permute(2, 0, 1)[None]
+    tb = torch.from_numpy(np.asarray(b, np.float32)).permute(2, 0, 1)[None]
+    with torch.no_grad():
         mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
         std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
         xa, xb = (ta - mean) / std, (tb - mean) / std

@@ -39,6 +39,36 @@ def quat_scale_to_covar(quats: jax.Array, scales: jax.Array) -> jax.Array:
     return mm(M, jnp.swapaxes(M, -1, -2))
 
 
+def _covar_cam_cols(quats, scales, R):
+    """Camera-frame covariance Rc (Rq S S^T Rq^T) Rc^T as six [N] columns
+    (c00, c01, c02, c11, c12, c22).
+
+    Scalar-expanded on purpose: the batched [N, 3, 3] matmul chain makes
+    XLA emit padded tiny-matmul loops on TPU; as ~100 fused [N]-wide
+    elementwise ops the whole thing is VPU-bound and effectively free."""
+    w, x, y, z = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    inv = jax.lax.rsqrt(w * w + x * x + y * y + z * z + 1e-20)
+    w, x, y, z = w * inv, x * inv, y * inv, z * inv
+    r = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+    s = [scales[:, 0], scales[:, 1], scales[:, 2]]
+    m = [[r[i][k] * s[k] for k in range(3)] for i in range(3)]
+    # world covariance (symmetric): cw[i][j] = sum_k m[i][k] m[j][k]
+    cw = [[sum(m[i][k] * m[j][k] for k in range(3)) for j in range(3)]
+          for i in range(3)]
+    # a = Rc @ Cw   (Rc rows are traced scalars)
+    a = [[sum(R[i, k] * cw[k][j] for k in range(3)) for j in range(3)]
+         for i in range(3)]
+    # c = a @ Rc^T, upper triangle
+    def cc(i, j):
+        return sum(a[i][k] * R[j, k] for k in range(3))
+
+    return cc(0, 0), cc(0, 1), cc(0, 2), cc(1, 1), cc(1, 2), cc(2, 2)
+
+
 def project(
     means: jax.Array,    # [N, 3] world
     quats: jax.Array,    # [N, 4]
@@ -59,8 +89,7 @@ def project(
     mean_c = mm(means, R.T) + t
     z = mean_c[..., 2]
 
-    covar = quat_scale_to_covar(quats, scales)
-    covar_c = mm(mm(R, covar), R.T)  # [N, 3, 3] (covar_world_to_cam)
+    c00, c01, c02, c11, c12, c22 = _covar_cam_cols(quats, scales, R)
 
     # perspective projection with clamped Jacobian (persp_proj,
     # utils.cuh:253-292)
@@ -83,24 +112,15 @@ def project(
     j02 = -fx * tx * rz2
     j11 = fy * rz
     j12 = -fy * ty * rz2
-    c = covar_c
     # cov2d = J C J^T, expanded (C symmetric)
-    a00 = (
-        j00 * j00 * c[..., 0, 0]
-        + 2.0 * j00 * j02 * c[..., 0, 2]
-        + j02 * j02 * c[..., 2, 2]
-    )
+    a00 = j00 * j00 * c00 + 2.0 * j00 * j02 * c02 + j02 * j02 * c22
     a01 = (
-        j00 * j11 * c[..., 0, 1]
-        + j00 * j12 * c[..., 0, 2]
-        + j02 * j11 * c[..., 1, 2]
-        + j02 * j12 * c[..., 2, 2]
+        j00 * j11 * c01
+        + j00 * j12 * c02
+        + j02 * j11 * c12
+        + j02 * j12 * c22
     )
-    a11 = (
-        j11 * j11 * c[..., 1, 1]
-        + 2.0 * j11 * j12 * c[..., 1, 2]
-        + j12 * j12 * c[..., 2, 2]
-    )
+    a11 = j11 * j11 * c11 + 2.0 * j11 * j12 * c12 + j12 * j12 * c22
 
     # low-pass blur (add_blur, utils.cuh:603-611); compensation unused
     # (calc_compensations=false in the reference model)

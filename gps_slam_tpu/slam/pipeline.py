@@ -72,6 +72,7 @@ class SLAMPipeline:
             except Exception:
                 self._tb = None
         self.scene_scale = 1.0
+        self._pose_idx: dict[int, int] = {}  # cam.id -> cam_poses index
         # timing accumulators (LOG_PIPELINE_TIME equivalents)
         self.t_fusion = self.t_local_raycast = self.t_key_raycast = 0.0
         self.t_init_gs = self.t_opt = self.t_remove = 0.0
@@ -95,6 +96,11 @@ class SLAMPipeline:
                     self.frame_cache.get(cams[i + ahead])
             jax.block_until_ready(self.engine.vol.n_blocks)
             cam.c2w_slam = np.asarray(pose)
+            # cam.id is a global read index over train+val; cam_poses only
+            # accumulates PROCESSED (train) frames — record the mapping so
+            # run_raycast_by_cam picks the right recorded pose when
+            # test_split_interval > 0 (slam_pipeline.cpp keys by frame id)
+            self._pose_idx[cam.id] = len(self.engine.cam_poses) - 1
             self.curr_cam = cam
             self.update_frame_list()
             self.t_fusion += (time.monotonic() - t0) * 1000.0
@@ -184,8 +190,9 @@ class SLAMPipeline:
     def run_raycast_by_cam(self, cam: Camera, use_cam_depth: bool = False) -> dict:
         """(runRaycastByCam, slam_pipeline.cpp:362-415): raycast with the
         engine-recorded pose when available, else the camera's gt pose."""
-        if self.engine.cam_poses and 0 <= cam.id < len(self.engine.cam_poses):
-            pose = self.engine.cam_poses[cam.id]
+        k = self._pose_idx.get(cam.id, -1)
+        if self.engine.cam_poses and 0 <= k < len(self.engine.cam_poses):
+            pose = self.engine.cam_poses[k]
         else:
             pose = cam.c2w
         maps = self.engine.run_raycast(pose, cam.K, cam.width, cam.height)
