@@ -259,10 +259,12 @@ def window_optimize(
     tx = optim.make_optimizer(_TxCfg(*tx_cfg), max_iterations)
     tile_w = -(-st.width // st.tile_size)
     tile_h = -(-st.height // st.tile_size)
-    # couple the active-tile bound to the pool bucket: few Gaussians can
-    # only touch few tiles; at large buckets fall back to the full grid
-    # (the n_active_overflow counter in the result reports any clipping)
-    act_cap = min(tile_w * tile_h, max(st.active_tile_cap, opt_cap // 8))
+    # static bound on Gaussian-occupied tiles: the configured cap, never
+    # the full grid (SLAM-mode Gaussians cover a minority of tiles; the
+    # rasterize scans cost O(act_cap), and the profiler showed the old
+    # opt_cap-coupled fallback silently re-dense-ifying the whole image).
+    # n_active_overflow in the result reports any clipping.
+    act_cap = min(tile_w * tile_h, st.active_tile_cap)
     st = st._replace(
         visible_cap=min(st.visible_cap, opt_cap),
         active_tile_cap=act_cap,

@@ -77,9 +77,80 @@ class OfflinePipeline:
         self.workspace_dir = workspace_dir
         self.model_path = workspace_dir + cfg.pipe.model_path
         self.eval_path = workspace_dir + cfg.pipe.eval_path
+        self.log_path = workspace_dir + cfg.pipe.log_path
         self.curr_iter = 0
         self.scene_scale = 1.0
         self._rng = np.random.default_rng(cfg.dev_id + 7)
+        os.makedirs(self.log_path, exist_ok=True)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(self.log_path)
+        except Exception:
+            self._tb = None
+        self._loss_buf: list = []  # (iter, device scalar) pairs
+
+    # -- logging (logResults / logScalars, src/pipeline.cpp:57-152) -----------
+
+    def _log_scalar_lazy(self, lval) -> None:
+        """Buffer the device loss scalar; bulk-fetch at image-log points
+        (fetching every iteration would serialize the async dispatch
+        queue on a ~25 ms host<->device round trip)."""
+        self._loss_buf.append((self.curr_iter, lval))
+
+    def _flush_scalars(self) -> None:
+        if self._tb is None:
+            self._loss_buf.clear()
+            return
+        for it, lv in self._loss_buf:
+            self._tb.add_scalar("loss/total", float(np.asarray(lv)), it)
+        self._loss_buf.clear()
+
+    def log_results(self, model: GaussianModel, cam, render_res: dict,
+                    log_mode: str = "auto") -> None:
+        """(logResults, src/pipeline.cpp:57-129): TB scalars every call;
+        comparison images (color comp, alpha jet, depth comp) to log_path
+        as frame{ID}_iter{N}.*.jpg every log_iter iterations."""
+        from ..utils import vis
+
+        p = self.cfg.pipe
+        self._flush_scalars()
+        if self._tb is not None:
+            self._tb.add_scalar("gs_num", model.num_gaussians, self.curr_iter)
+        if log_mode == "only scalar":
+            return
+        log_image = (
+            log_mode == "scaler and image"
+            or (log_mode == "auto"
+                and (self.curr_iter % p.log_iter == 0
+                     or self.curr_iter + 1 == p.max_iterations))
+        )
+        if not log_image:
+            return
+        frame_id = getattr(cam, "get_frame_id", lambda: str(getattr(cam, "id", 0)))()
+        base = os.path.join(
+            self.log_path, f"frame{frame_id}_iter{self.curr_iter}")
+        rgb = np.clip(np.asarray(render_res["rgb"]), 0.0, 1.0)
+        gt = np.asarray(cam.image)
+        vis.imwrite_rgb(base + ".color.jpg",
+                        vis.color_comp_img(rgb, gt, 0.0, p.color_error_max))
+        if "alpha" in render_res and render_res["alpha"] is not None:
+            alpha = np.asarray(render_res["alpha"])
+            vis.imwrite_rgb(base + ".alpha.jpg",
+                            vis.jet(alpha, 0.0, p.alpha_vis_max))
+        if "depth" in render_res and render_res["depth"] is not None:
+            dep = np.asarray(render_res["depth"])
+            if getattr(cam, "depth", None) is not None:
+                gtd = np.asarray(cam.depth)
+                gtd = gtd[..., 0] if gtd.ndim == 3 else gtd
+                vis.imwrite_rgb(
+                    base + ".depth.jpg",
+                    vis.depth_comp_img(dep, gtd, p.depth_vis_min,
+                                       p.depth_vis_max, 0.0,
+                                       p.depth_error_max))
+            else:
+                vis.imwrite_rgb(base + ".depth.jpg",
+                                vis.jet(dep, p.depth_vis_min, p.depth_vis_max))
 
     # -- raw mode -------------------------------------------------------------
 
@@ -117,6 +188,14 @@ class OfflinePipeline:
                 cfg.pipe.max_iterations, cfg.pipe.ssim_weight, "raw",
                 want_probe_grad=want_grad,
             )
+            self._log_scalar_lazy(lval)
+            if (it % cfg.pipe.log_iter == 0 or it + 1 == cfg.pipe.max_iterations):
+                res = gmodel.raw_forward_jit(
+                    model.pool.params, model.pool.alive, cam_dev[ci]["c2w"],
+                    cam_dev[ci]["K"], cam_dev[ci]["cam_id"], model.statics)
+                self.log_results(model, cams[ci],
+                                 {"rgb": res["rgb"], "depth": res.get("depth"),
+                                  "alpha": res.get("alpha")})
             if want_grad:
                 # updateDensifyGrad (raw_gs_model.cpp:459-503)
                 vis = radii > 0
@@ -179,9 +258,22 @@ class OfflinePipeline:
                 else rt["depth_map"],
                 base_color=rt["color_map"],
             )
+            self._log_scalar_lazy(lval)
+            if (self.curr_iter % cfg.pipe.log_iter == 0
+                    or self.curr_iter + 1 == cfg.pipe.max_iterations):
+                res = gmodel.ges_forward_jit(
+                    model.pool.params, model.pool.alive, cam_dev[ci]["c2w"],
+                    cam_dev[ci]["K"],
+                    rt["depth_map"][..., 0] if rt["depth_map"].ndim == 3
+                    else rt["depth_map"],
+                    rt["color_map"], cam_dev[ci]["cam_id"], model.statics)
+                self.log_results(model, cams[ci],
+                                 {"rgb": res["rgb"], "depth": res.get("depth"),
+                                  "alpha": res.get("alpha")})
             self.curr_iter += 1
 
     def save(self, model: GaussianModel, reader: DatasetReader) -> None:
+        self._flush_scalars()
         model.save(self.model_path)
         uio.save_cameras_json(reader.train_vec,
                               os.path.join(self.model_path, "cameras.json"))

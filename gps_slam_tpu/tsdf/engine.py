@@ -142,7 +142,8 @@ class TsdfEngine:
                 d = d[..., 0]
             c = jnp.asarray(rgb)
             self.vol = integrate.fuse_frame(
-                self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K)
+                self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K),
+                False, self._use_pallas_raycast(),
             )
         self._last_pose = np.asarray(pose, dtype=np.float32)
         self.cam_poses.append(self._last_pose.copy())
@@ -172,7 +173,7 @@ class TsdfEngine:
             return rc_pallas.raycast(
                 self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
                 width, height, p.raycast_lb, p.raycast_samples,
-                max(p.raycast_bisect, 8), 2, 4,
+                max(p.raycast_bisect, 8), 2, 8,
             )
         return rc_tiles.raycast(
             self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,

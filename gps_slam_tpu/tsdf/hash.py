@@ -134,13 +134,17 @@ def insert(
     within a frame too).
     """
     H = table_keys.shape[0]
+    M = packed.shape[0]
     valid = packed != EMPTY
     h0 = hash_packed(packed, H)
     resolved = ~valid
+    my_slot = jnp.full((M,), H, jnp.int32)   # resolved candidates' slot
     for r in range(max_probes):
         slot = (h0 + r) & (H - 1)
         keys = table_keys[slot]
-        resolved = resolved | (keys == packed)
+        hit = (~resolved) & (keys == packed)
+        my_slot = jnp.where(hit, slot, my_slot)
+        resolved = resolved | hit
         # try to claim empty slots for unresolved candidates
         want = (~resolved) & (keys == EMPTY)
         # scatter: losers of intra-round races are detected by re-reading
@@ -148,19 +152,35 @@ def insert(
             packed, mode="drop"
         )
         keys2 = table_keys[slot]
-        resolved = resolved | (keys2 == packed)
+        won = (~resolved) & (keys2 == packed)
+        my_slot = jnp.where(won, slot, my_slot)
+        resolved = resolved | won
 
-    # allocate pool pointers for table slots that now hold a key but no block
-    new_slot = (table_keys != EMPTY) & (table_ptrs < 0)
-    order = jnp.cumsum(new_slot.astype(jnp.int32)) - 1
+    # allocate pool pointers for newly-claimed slots.  All bookkeeping
+    # runs on the [M]-sized candidate arrays, never the [H]-sized table
+    # (a full-table cumsum + scatter costs ~10 ms/frame at H = 2^21).
+    # Duplicate candidates resolve to the same slot; a one-winner-per-slot
+    # scatter keeps exactly one allocator per slot.
+    slot_safe = jnp.where(resolved & valid, my_slot, 0)
+    maybe_new = resolved & valid & (table_ptrs[slot_safe] < 0)
+    cand_ids = jnp.arange(M, dtype=jnp.int32)
+    winner = jnp.full((H,), M, jnp.int32).at[
+        jnp.where(maybe_new, my_slot, H)
+    ].set(cand_ids, mode="drop")
+    is_new = maybe_new & (winner[slot_safe] == cand_ids)
+    order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     new_ptr = n_blocks + order
-    fits = new_slot & (new_ptr < block_capacity)
-    table_ptrs = jnp.where(fits, new_ptr, table_ptrs)
+    fits = is_new & (new_ptr < block_capacity)
+    table_ptrs = table_ptrs.at[jnp.where(fits, my_slot, H)].set(
+        new_ptr, mode="drop"
+    )
     # overflow: un-insert keys that could not get a block this frame
-    table_keys = jnp.where(new_slot & ~fits, EMPTY, table_keys)
+    table_keys = table_keys.at[jnp.where(is_new & ~fits, my_slot, H)].set(
+        EMPTY, mode="drop"
+    )
     n_alloc = jnp.sum(fits.astype(jnp.int32))
     # reverse map: pool index -> packed coords
-    block_coords = block_coords.at[jnp.where(fits, table_ptrs, block_capacity)].set(
-        table_keys, mode="drop"
+    block_coords = block_coords.at[jnp.where(fits, new_ptr, block_capacity)].set(
+        packed, mode="drop"
     )
     return table_keys, table_ptrs, n_blocks + n_alloc, block_coords

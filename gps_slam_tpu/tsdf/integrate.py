@@ -60,14 +60,22 @@ def alloc_candidates(
     frustum_min: float,
     frustum_max: float,
     n_steps: int,
+    stride: int = 2,
 ) -> jax.Array:
-    """Per-pixel mu-band block candidates, packed keys [H*W*n_steps]
-    (buildHashAllocAndVisibleTypePP, Shared.h:207-323)."""
-    Hh, Ww = depth.shape
+    """Per-pixel mu-band block candidates, packed keys
+    [ceil(H/stride)*ceil(W/stride)*n_steps]
+    (buildHashAllocAndVisibleTypePP, Shared.h:207-323).
+
+    `stride` subsamples the pixel grid: a block spans >=25 px at 1 m with
+    5 mm voxels, so stride-2 candidates still name every surface block
+    (a sub-pixel sliver missed in one frame re-candidates the next) while
+    the downstream dedup sort shrinks 4x.  All math is scalar [h, w]
+    planes — no [., ., 3]-stacked arrays (3-lane layouts waste the VPU)."""
+    z = depth[::stride, ::stride]
+    Hh, Ww = z.shape
     one_over_block = 1.0 / (voxel_size * BLOCK)
-    i = jnp.arange(Ww, dtype=jnp.float32)[None, :]
-    j = jnp.arange(Hh, dtype=jnp.float32)[:, None]
-    z = depth
+    i = (jnp.arange(Ww, dtype=jnp.float32) * stride)[None, :]
+    j = (jnp.arange(Hh, dtype=jnp.float32) * stride)[:, None]
     valid = (
         (z > 0)
         & ((z - mu) >= frustum_min)
@@ -75,21 +83,30 @@ def alloc_candidates(
     )
     x = z * (i - cx) / fx
     y = z * (j - cy) / fy
-    pt_cam = jnp.stack([x, y, z], axis=-1)  # [H, W, 3]
-    norm = jnp.linalg.norm(pt_cam, axis=-1, keepdims=True)
+    norm = jnp.sqrt(x * x + y * y + z * z)
     norm = jnp.maximum(norm, 1e-6)
-    start_cam = pt_cam * (1.0 - mu / norm)
-    end_cam = pt_cam * (1.0 + mu / norm)
+    s0 = 1.0 - mu / norm
+    s1 = 1.0 + mu / norm
     R, t = c2w[:3, :3], c2w[:3, 3]
-    start_w = (mm(start_cam, R.T) + t) * one_over_block
-    end_w = (mm(end_cam, R.T) + t) * one_over_block
-    step = (end_w - start_w) / max(n_steps - 1, 1)
+    # world-space ray through the band, per axis ([h, w] planes)
+    wx = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z
+    wy = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z
+    wz = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z
+    sx0 = (wx * s0 + t[0]) * one_over_block
+    sy0 = (wy * s0 + t[1]) * one_over_block
+    sz0 = (wz * s0 + t[2]) * one_over_block
+    dx = (wx * s1 + t[0]) * one_over_block - sx0
+    dy = (wy * s1 + t[1]) * one_over_block - sy0
+    dz = (wz * s1 + t[2]) * one_over_block - sz0
+    inv = 1.0 / max(n_steps - 1, 1)
     keys = []
     for s in range(n_steps):
-        p = start_w + s * step
-        b = jnp.floor(p).astype(jnp.int32)
-        in_range = vhash.coords_in_range(b[..., 0], b[..., 1], b[..., 2])
-        k = vhash.pack(b[..., 0], b[..., 1], b[..., 2])
+        f = s * inv
+        bx = jnp.floor(sx0 + f * dx).astype(jnp.int32)
+        by = jnp.floor(sy0 + f * dy).astype(jnp.int32)
+        bz = jnp.floor(sz0 + f * dz).astype(jnp.int32)
+        in_range = vhash.coords_in_range(bx, by, bz)
+        k = vhash.pack(bx, by, bz)
         keys.append(jnp.where(valid & in_range, k, vhash.EMPTY))
     return jnp.stack(keys, axis=-1).reshape(-1)
 
@@ -114,25 +131,33 @@ def visible_blocks(
     p = vol.params
     B = p.block_capacity
     allocated = jnp.arange(B, dtype=jnp.int32) < vol.n_blocks
-    bx, by, bz = vhash.unpack(vol.block_coords)
-    corner = jnp.stack([bx, by, bz], axis=-1).astype(jnp.float32) * (
-        p.voxel_size * BLOCK
-    )  # [B, 3] world min corner (metres)
-    offs = jnp.array(
-        [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
-        dtype=jnp.float32,
-    ) * (p.voxel_size * BLOCK)
-    pts = corner[:, None, :] + offs[None, :, :]  # [B, 8, 3]
-    pc = mm(pts, w2c[:3, :3].T) + w2c[:3, 3]
-    u, v, z = _project(pc, fx, fy, cx, cy)
+    bxi, byi, bzi = vhash.unpack(vol.block_coords)
+    ext = p.voxel_size * BLOCK
+    cxw = bxi.astype(jnp.float32) * ext   # [B] world min corner per axis
+    cyw = byi.astype(jnp.float32) * ext
+    czw = bzi.astype(jnp.float32) * ext
+    R, t = w2c[:3, :3], w2c[:3, 3]
     margin_u, margin_v = 0.125 * width, 0.125 * height
-    ok = (
-        (z > p.frustum_min)
-        & (z < p.frustum_max)
-        & (u > -margin_u) & (u < width + margin_u)
-        & (v > -margin_v) & (v < height + margin_v)
-    )
-    vis = allocated & jnp.any(ok, axis=1)
+    # unrolled 8-corner projection on scalar [B] planes (a stacked
+    # [B, 8, 3] matmul makes XLA pad 3-lane layouts)
+    any_ok = jnp.zeros((B,), bool)
+    su = sv = sz = jnp.zeros((B,), jnp.float32)
+    for ox in (0.0, ext):
+        for oy in (0.0, ext):
+            for oz in (0.0, ext):
+                px, py, pz = cxw + ox, cyw + oy, czw + oz
+                zc_ = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
+                xc_ = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
+                yc_ = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
+                u = fx * xc_ / zc_ + cx
+                v = fy * yc_ / zc_ + cy
+                any_ok = any_ok | (
+                    (zc_ > p.frustum_min) & (zc_ < p.frustum_max)
+                    & (u > -margin_u) & (u < width + margin_u)
+                    & (v > -margin_v) & (v < height + margin_v)
+                )
+                su, sv, sz = su + u, sv + v, sz + zc_
+    vis = allocated & any_ok
 
     if depth is not None and p.band_only_integration:
         PT = 32
@@ -142,9 +167,9 @@ def visible_blocks(
         dvalid = tiles > 0
         tmin = jnp.min(jnp.where(dvalid, tiles, jnp.inf), axis=(1, 3))
         tmax = jnp.max(jnp.where(dvalid, tiles, -jnp.inf), axis=(1, 3))
-        zc = jnp.mean(z, axis=1)
-        uc = jnp.clip(jnp.mean(u, axis=1) / PT, 0, tw - 1).astype(jnp.int32)
-        vc = jnp.clip(jnp.mean(v, axis=1) / PT, 0, th - 1).astype(jnp.int32)
+        zc = sz / 8.0
+        uc = jnp.clip(su / 8.0 / PT, 0, tw - 1).astype(jnp.int32)
+        vc = jnp.clip(sv / 8.0 / PT, 0, th - 1).astype(jnp.int32)
         margin = p.mu + 1.74 * p.voxel_size * BLOCK
         in_band = (
             (zc > tmin[vc, uc] - margin) & (zc < tmax[vc, uc] + margin)
@@ -261,7 +286,7 @@ def _block_voxel_positions(block_keys: jax.Array, voxel_size: float) -> jax.Arra
     return (base[:, None, :] + local[None, :, :]) * voxel_size
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6))
 def fuse_frame(
     vol: TsdfVolume,
     depth: jax.Array,   # [H, W] metres
@@ -269,6 +294,7 @@ def fuse_frame(
     c2w: jax.Array,     # 4x4
     K: jax.Array,       # 3x3
     bilinear_color: bool = False,
+    use_pallas: bool = False,
 ) -> TsdfVolume:
     """One frame of allocation + integration (DenseMapper::ProcessFrame,
     ITMDenseMapper.tpp:33-60).  Donates the volume for in-place update."""
@@ -304,6 +330,28 @@ def fuse_frame(
     #    scatter back (computeUpdatedVoxelDepthInfo / ColorInfo,
     #    Shared.h:8-140)
     keys = vol.block_coords[vis_safe]
+    rgb_packed = _pack_rgb(rgb)
+
+    if use_pallas:
+        from . import integrate_pallas as ipk
+
+        old_cp = vol.color[vis_safe]
+        old_color_packed = (
+            old_cp[..., 0].astype(jnp.uint32)
+            | (old_cp[..., 1].astype(jnp.uint32) << 8)
+            | (old_cp[..., 2].astype(jnp.uint32) << 16)
+        )
+        new_f, new_w, new_c, new_wc = ipk.integrate_blocks(
+            depth, rgb_packed, keys, vis_valid,
+            vol.sdf[vis_safe],
+            vol.w_depth[vis_safe].astype(jnp.float32),
+            old_color_packed,
+            vol.w_color[vis_safe].astype(jnp.float32),
+            w2c, fx, fy, cx, cy, width, height,
+            p.voxel_size, p.mu, p.max_w,
+        )
+        return _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc)
+
     pos_w = _block_voxel_positions(keys, p.voxel_size)       # [V, 512, 3]
     pc = mm(pos_w, w2c_R.T) + w2c_t                          # camera space
     u, v, z = _project(pc, fx, fy, cx, cy)
@@ -312,7 +360,6 @@ def fuse_frame(
         & (u >= 1) & (u <= width - 2)
         & (v >= 1) & (v <= height - 2)
     )
-    rgb_packed = _pack_rgb(rgb)
     if bilinear_color:
         ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, width - 1)
         vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, height - 1)
@@ -369,8 +416,14 @@ def fuse_frame(
         color_update, jnp.minimum(old_wc + 1.0, float(p.max_w)), old_wc
     )
 
-    # per-block summaries for the tile raycaster: 2x2x2 mean-pooled sdf
-    # mip (lin64 = mx + 4*my + 16*mz), min integrated sdf, max weight
+    return _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc)
+
+
+def _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc):
+    """Per-block raycaster summaries + deterministic scatter-back."""
+    p = vol.params
+    # 2x2x2 mean-pooled sdf mip (lin64 = mx + 4*my + 16*mz), min
+    # integrated sdf, max weight
     f_cube = new_f.reshape(-1, 8, 8, 8)          # [V][z][y][x]
     mip = f_cube.reshape(-1, 4, 2, 4, 2, 4, 2).mean(axis=(2, 4, 6)).reshape(-1, 64)
     integrated = new_w > 0

@@ -1,0 +1,223 @@
+"""Pallas TPU kernel for the per-voxel integration update.
+
+The XLA formulation (`integrate._window_sample` + the masked running
+averages in `fuse_frame`) stages its one-hot sampling matmuls through
+HBM ([chunk, 64, 512] partials; ~17 ms/frame at bench scale).  This
+kernel runs the whole window-sample + TSDF/color update for a block in
+VMEM: per visible block it takes the pre-gathered 64x64 depth/color
+window (contiguous 2x2 tile neighborhood), samples all 512 voxels with
+two one-hot MXU matmuls, and applies computeUpdatedVoxelDepthInfo /
+ColorInfo (ITMSceneReconstructionEngine_Shared.h:8-140) elementwise.
+
+Everything is [*, 512]-shaped with the block's voxels in the lane
+dimension.  Padding rows of the visible list skip compute via pl.when;
+their stale outputs are dropped by the caller's scatter (index =
+block_capacity, mode="drop")."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import hash as vhash
+from .volume import BLOCK, BLOCK_VOL
+
+PT = 32            # image tile edge
+WIN = 2 * PT       # gathered window edge
+
+
+def _kernel(meta_ref, pose_ref, dwin_ref, cwin_ref, sdf_ref, w_ref, col_ref,
+            wc_ref, out_ref, *, C, voxel_size, mu, max_w, width, height):
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK_VOL), 1)
+    vlx = (lin % BLOCK).astype(jnp.float32)
+    vly = ((lin // BLOCK) % BLOCK).astype(jnp.float32)
+    vlz = (lin // (BLOCK * BLOCK)).astype(jnp.float32)
+    i64 = jax.lax.broadcasted_iota(jnp.int32, (WIN, BLOCK_VOL), 0)
+
+    R00, R01, R02 = pose_ref[0, 0], pose_ref[0, 1], pose_ref[0, 2]
+    R10, R11, R12 = pose_ref[0, 3], pose_ref[0, 4], pose_ref[0, 5]
+    R20, R21, R22 = pose_ref[0, 6], pose_ref[0, 7], pose_ref[0, 8]
+    t0, t1, t2 = pose_ref[0, 9], pose_ref[0, 10], pose_ref[0, 11]
+    fx, fy, cx, cy = (pose_ref[0, 12], pose_ref[0, 13],
+                      pose_ref[0, 14], pose_ref[0, 15])
+
+    for c in range(C):
+        valid = meta_ref[c, 5] > 0
+
+        @pl.when(valid)
+        def _():
+            bxw, byw, bzw = meta_ref[c, 0], meta_ref[c, 1], meta_ref[c, 2]
+            ax, ay = meta_ref[c, 3], meta_ref[c, 4]
+            px = (bxw + vlx) * voxel_size
+            py = (byw + vly) * voxel_size
+            pz = (bzw + vlz) * voxel_size
+            zc = R20 * px + R21 * py + R22 * pz + t2        # [1, 512]
+            xc = R00 * px + R01 * py + R02 * pz + t0
+            yc = R10 * px + R11 * py + R12 * pz + t1
+            zs = jnp.where(jnp.abs(zc) < 1e-9, 1e-9, zc)
+            u = fx * xc / zs + cx
+            v = fy * yc / zs + cy
+            in_img = ((zc > 0) & (u >= 1) & (u <= width - 2)
+                      & (v >= 1) & (v <= height - 2))
+            iu = jnp.round(u).astype(jnp.int32) - (ax * PT).astype(jnp.int32)
+            iv = jnp.round(v).astype(jnp.int32) - (ay * PT).astype(jnp.int32)
+            in_win = (iu >= 0) & (iu < WIN) & (iv >= 0) & (iv < WIN)
+            uh = (i64 == jnp.clip(iu, 0, WIN - 1)).astype(jnp.float32)
+            vh = (i64 == jnp.clip(iv, 0, WIN - 1)).astype(jnp.float32)
+
+            dwin = dwin_ref[c]                              # [64, 64] f32
+            # HIGHEST: the one-hot select must not round metres through
+            # bf16 MXU passes (1 cm of depth error = 0.5 sdf at mu=2 cm)
+            A = jax.lax.dot_general(
+                dwin, uh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)        # [64, 512]
+            d_meas = jnp.sum(vh * A, 0, keepdims=True)      # [1, 512]
+
+            cwin = cwin_ref[c]                              # [64, 64] u32 packed
+            uh_b = uh.astype(jnp.bfloat16)
+            cms = []
+            for ch in range(3):
+                cf = ((cwin >> (8 * ch)) & 0xFF).astype(jnp.int32).astype(
+                    jnp.float32).astype(jnp.bfloat16)
+                Ac = jax.lax.dot_general(
+                    cf, uh_b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cms.append(jnp.sum(vh * Ac, 0, keepdims=True) * (1.0 / 255.0))
+
+            old_f = sdf_ref[c][None, :]                     # [1, 512]
+            old_w = w_ref[c][None, :]
+            eta = d_meas - zc
+            update = (in_img & in_win & (d_meas > 0)
+                      & (eta >= -mu))
+            new_obs = jnp.minimum(1.0, eta / mu)
+            den = old_w + 1.0
+            new_f = jnp.where(update, (old_w * old_f + new_obs) / den, old_f)
+            new_w = jnp.where(update, jnp.minimum(den, float(max_w)), old_w)
+
+            color_update = update & (eta <= mu) & (jnp.abs(eta / mu) < 0.25)
+            cold = col_ref[c]                               # [512] u32 packed
+            out_ref[c, 0] = new_f[0]
+            out_ref[c, 1] = new_w[0]
+            old_wc = wc_ref[c][None, :]                     # [1, 512]
+            wc_den = old_wc + 1.0
+            for ch in range(3):
+                oc = ((cold >> (8 * ch)) & 0xFF).astype(jnp.int32).astype(
+                    jnp.float32)[None, :] / 255.0
+                nc = jnp.where(
+                    color_update, (oc * old_wc + cms[ch]) / wc_den, oc)
+                out_ref[c, 2 + ch] = nc[0]
+            out_ref[c, 5] = jnp.where(
+                color_update, jnp.minimum(wc_den, float(max_w)), old_wc)[0]
+
+
+def integrate_blocks(
+    depth: jax.Array,        # [H, W] f32
+    rgb_packed: jax.Array,   # [H, W] u32
+    keys: jax.Array,         # [V] packed block coords
+    vis_valid: jax.Array,    # [V] bool
+    old_sdf: jax.Array,      # [V, 512] f32
+    old_w: jax.Array,        # [V, 512] f32
+    old_color_packed: jax.Array,  # [V, 512] u32
+    old_wc: jax.Array,       # [V, 512] f32
+    w2c: jax.Array,          # [4, 4]
+    fx, fy, cx, cy,
+    width: int, height: int,
+    voxel_size: float, mu: float, max_w: int,
+    blocks_per_step: int = 8,
+):
+    """Returns (new_f [V,512], new_w [V,512], new_c [V,512,3] float 0..1,
+    new_wc [V,512]).  Rows with vis_valid=False return stale values —
+    callers must drop them at scatter time."""
+    V = keys.shape[0]
+    tw = -(-width // PT)
+    th = -(-height // PT)
+    dpad = jnp.pad(depth, ((0, th * PT - height), (0, tw * PT - width)))
+    cpad = jnp.pad(rgb_packed, ((0, th * PT - height), (0, tw * PT - width)))
+    d_tiles = dpad.reshape(th, PT, tw, PT).transpose(0, 2, 1, 3).reshape(
+        th * tw, PT, PT)
+    c_tiles = cpad.reshape(th, PT, tw, PT).transpose(0, 2, 1, 3).reshape(
+        th * tw, PT, PT)
+
+    # per-block meta: world min corner (voxel units), window anchor, valid
+    bx, by, bz = vhash.unpack(keys)
+    bxf = bx.astype(jnp.float32) * BLOCK
+    byf = by.astype(jnp.float32) * BLOCK
+    bzf = bz.astype(jnp.float32) * BLOCK
+    R, t = w2c[:3, :3], w2c[:3, 3]
+    # project the 8 corners to get the window anchor (scalar [V] planes)
+    umin = jnp.full((V,), jnp.inf)
+    vmin = jnp.full((V,), jnp.inf)
+    ext = voxel_size * BLOCK
+    for ox in (0.0, ext):
+        for oy in (0.0, ext):
+            for oz in (0.0, ext):
+                px = bxf * voxel_size + ox
+                py = byf * voxel_size + oy
+                pz = bzf * voxel_size + oz
+                zc = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
+                zs = jnp.maximum(zc, 1e-6)
+                uu = fx * (R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]) / zs + cx
+                vv = fy * (R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]) / zs + cy
+                umin = jnp.minimum(umin, uu)
+                vmin = jnp.minimum(vmin, vv)
+    ax = jnp.clip(jnp.floor(umin / PT), 0, tw - 2).astype(jnp.float32)
+    ay = jnp.clip(jnp.floor(vmin / PT), 0, th - 2).astype(jnp.float32)
+    meta = jnp.stack(
+        [bxf, byf, bzf, ax, ay, vis_valid.astype(jnp.float32),
+         jnp.zeros((V,)), jnp.zeros((V,))], axis=1)          # [V, 8]
+
+    rows0 = (ay * tw + ax).astype(jnp.int32)
+    rows = rows0[:, None] + jnp.asarray([0, 1, tw, tw + 1], jnp.int32)[None]
+    def win(tiles):
+        q = tiles[rows]                                     # [V, 4, PT, PT]
+        return (q.reshape(V, 2, 2, PT, PT)
+                .transpose(0, 1, 3, 2, 4).reshape(V, WIN, WIN))
+    dwin = win(d_tiles)
+    cwin = win(c_tiles)
+
+    pose = jnp.concatenate([
+        R.reshape(-1), t, jnp.asarray([fx, fy, cx, cy]).reshape(-1)
+    ]).reshape(1, 16).astype(jnp.float32)
+
+    C = blocks_per_step
+    n_steps = -(-V // C)
+    V_pad = n_steps * C
+    def padv(x, fill=0):
+        if V_pad == V:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((V_pad - V, *x.shape[1:]), fill, x.dtype)], 0)
+
+    kern = functools.partial(
+        _kernel, C=C, voxel_size=voxel_size, mu=mu, max_w=max_w,
+        width=width, height=height)
+    spec = lambda shape, ms=pltpu.VMEM: pl.BlockSpec(
+        (C, *shape), lambda i: (i, *([0] * len(shape))), memory_space=ms)
+    pose_spec = pl.BlockSpec((1, 16), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    meta_spec = pl.BlockSpec((C, 8), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(n_steps,),
+        in_specs=[
+            meta_spec, pose_spec, spec((WIN, WIN)), spec((WIN, WIN)),
+            spec((BLOCK_VOL,)), spec((BLOCK_VOL,)), spec((BLOCK_VOL,)),
+            spec((BLOCK_VOL,)),
+        ],
+        out_specs=spec((8, BLOCK_VOL)),
+        out_shape=jax.ShapeDtypeStruct((V_pad, 8, BLOCK_VOL), jnp.float32),
+    )(padv(meta), pose, padv(dwin), padv(cwin), padv(old_sdf),
+      padv(old_w), padv(old_color_packed), padv(old_wc))
+
+    new_f = out[:V, 0]
+    new_w = out[:V, 1]
+    new_c = out[:V, 2:5].transpose(0, 2, 1)                 # [V, 512, 3]
+    new_wc = out[:V, 5]
+    return new_f, new_w, new_c, new_wc

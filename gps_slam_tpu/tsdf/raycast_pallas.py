@@ -69,57 +69,88 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
         dy = d[1:2]
         dz = d[2:3]
 
-        # ---- ray-AABB slab test (depth-parameterized: t is camera z) ----
-        t0 = jnp.full((LB, P), frustum_min, jnp.float32)
-        t1 = jnp.full((LB, P), frustum_max, jnp.float32)
-        for a, da in ((0, dx), (1, dy), (2, dz)):
+        # ---- quad downsample: the coarse/ranking pass runs at 2x2-pixel
+        # quads (64 per tile) — candidate blocks are >=10 px across, so
+        # block ranking is constant within a quad; this quarters the
+        # dominant [LB, *, 64] mip-sampling cost.  Qoh maps quad->pixel.
+        ppx = jax.lax.broadcasted_iota(jnp.int32, (64, P), 1) % TILE
+        ppy = jax.lax.broadcasted_iota(jnp.int32, (64, P), 1) // TILE
+        qp = (ppy // 2) * (TILE // 2) + ppx // 2               # [64, P]
+        Qoh = (jax.lax.broadcasted_iota(jnp.int32, (64, P), 0) == qp
+               ).astype(jnp.float32)                           # [64, P]
+        Qoh_b = Qoh.astype(jnp.bfloat16)
+
+        def to_quad(row):          # [1, P] -> [1, 64] (quad mean)
+            return jax.lax.dot_general(
+                row, Qoh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * 0.25
+
+        def to_full(rowq):         # [1, 64] -> [1, P] (broadcast)
+            return jax.lax.dot_general(
+                rowq, Qoh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        dqx = to_quad(dx)
+        dqy = to_quad(dy)
+        dqz = to_quad(dz)
+
+        # ---- ray-AABB slab test at quad resolution ----
+        t0 = jnp.full((LB, 64), frustum_min, jnp.float32)
+        t1 = jnp.full((LB, 64), frustum_max, jnp.float32)
+        for a, da in ((0, dqx), (1, dqy), (2, dqz)):
             ds = jnp.where(jnp.abs(da) < 1e-9, 1e-9, da)
             bmin = borg[:, a:a + 1]           # [LB, 1]
-            ta = bmin / ds                    # [LB, P]
+            ta = bmin / ds                    # [LB, 64]
             tb = (bmin + ext) / ds
             t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
             t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
-        hit_box = t1 > t0                     # [LB, P]
+        hit_box = t1 > t0                     # [LB, 64]
 
         # ---- coarse pass: s_coarse trilinear mip samples per block ----
         # mip values broadcast into lanes; hat weights built by iota
         # arithmetic over the 64-cell axis (mip voxel id = x + 4y + 16z)
         mip64 = mip_r.astype(jnp.float32)[:, :, None]          # [LB, 64, 1]
-        i64 = jax.lax.broadcasted_iota(jnp.int32, (LB, 64, P), 1)
+        i64 = jax.lax.broadcasted_iota(jnp.int32, (LB, 64, 64), 1)
         c4x = (i64 % 4).astype(jnp.float32)
         c4y = ((i64 // 4) % 4).astype(jnp.float32)
         c4z = (i64 // 16).astype(jnp.float32)
 
         def coarse_body(s, carry):
-            minval, has_neg, cand = carry
+            minval, has_neg, cand, s_first = carry
             cs = (s.astype(jnp.float32) + 0.5) / s_coarse
-            ts = t0 + (t1 - t0) * cs          # [LB, P]
+            ts = t0 + (t1 - t0) * cs          # [LB, 64]
             lqs = []
-            for da, a in ((dx, 0), (dy, 1), (dz, 2)):
+            for da, a in ((dqx, 0), (dqy, 1), (dqz, 2)):
                 la = (da * ts - borg[:, a:a + 1]) * (inv_vox * 0.5)
-                lqs.append(jnp.clip(la - 0.5, 0.0, 3.0)[:, None, :])  # [LB,1,P]
+                lqs.append(jnp.clip(la - 0.5, 0.0, 3.0)[:, None, :])  # [LB,1,64]
             w64 = (jnp.maximum(0.0, 1.0 - jnp.abs(lqs[0] - c4x))
                    * jnp.maximum(0.0, 1.0 - jnp.abs(lqs[1] - c4y))
                    * jnp.maximum(0.0, 1.0 - jnp.abs(lqs[2] - c4z)))
-            v = jnp.sum(w64 * mip64, axis=1)                            # [LB,P]
+            v = jnp.sum(w64 * mip64, axis=1)                            # [LB,64]
             neg = ((v < 0.0) & hit_box).astype(jnp.float32)
             near = ((v < NEAR) & hit_box).astype(jnp.float32)
+            # record the FIRST negative sample index per (block, quad) —
+            # it brackets the crossing for the refinement stage
+            s_first = jnp.where((neg > 0) & (has_neg < 1),
+                                s.astype(jnp.float32), s_first)
             # f32 {0,1} masks: Mosaic can't carry i1 vectors through scf.for
             return (jnp.minimum(minval, jnp.where(hit_box, v, jnp.inf)),
                     jnp.maximum(has_neg, neg),
-                    jnp.maximum(cand, jnp.max(near, 0, keepdims=True)))
+                    jnp.maximum(cand, jnp.max(near, 0, keepdims=True)),
+                    s_first)
 
-        minval, has_neg, candidate = jax.lax.fori_loop(
+        minval, has_neg, candidate_q, s_first = jax.lax.fori_loop(
             0, s_coarse, coarse_body,
-            (jnp.full((LB, P), jnp.inf), jnp.zeros((LB, P), jnp.float32),
-             jnp.zeros((1, P), jnp.float32)),
+            (jnp.full((LB, 64), jnp.inf), jnp.zeros((LB, 64), jnp.float32),
+             jnp.zeros((1, 64), jnp.float32), jnp.zeros((LB, 64), jnp.float32)),
         )
+        candidate = to_full(candidate_q)
 
         # ---- rank candidates: negative blocks by entry depth, then dips ----
         order_key = jnp.where(
             has_neg > 0, t0 - 1e4,
             jnp.where(minval < NEAR, minval, jnp.inf),
-        )                                     # [LB, P]
+        )                                     # [LB, 64]
 
         def tri(cube, bx, by, bz_, tq):
             """Trilinear sdf of each pixel's selected cube [8,8,8,P] at
@@ -135,20 +166,41 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
             u2 = jnp.sum(u1 * wy[None], axis=1)             # [8, P]
             return jnp.sum(u2 * wz, axis=0, keepdims=True)  # [1, P]
 
-        def refine(ohl):
+        def refine(ohl, ohl_q):
             """Bracket + secant against the selected block's 8^3 cube.
             `ohl` is a {0,1} float mask [LB, P] (bool vectors can't be
-            select_n'd / truncated by Mosaic)."""
+            select_n'd / truncated by Mosaic).  The block was ranked at
+            quad resolution; its segment [t0s, t1s] is recomputed here
+            per PIXEL (one [1, P] slab, ~20 VPU ops)."""
             ohb = ohl.astype(jnp.bfloat16)
             cube = jax.lax.dot_general(
                 sdf_r, ohb, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(8, 8, 8, P)             # [z, y, x, P]
-            t0s = jnp.sum(ohl * t0, 0, keepdims=True)
-            t1s = jnp.sum(ohl * t1, 0, keepdims=True)
             bx = jnp.sum(ohl * borg[:, 0:1], 0, keepdims=True)
             by = jnp.sum(ohl * borg[:, 1:2], 0, keepdims=True)
             bz_ = jnp.sum(ohl * borg[:, 2:3], 0, keepdims=True)
+            t0s = jnp.full((1, P), frustum_min, jnp.float32)
+            t1s = jnp.full((1, P), frustum_max, jnp.float32)
+            for bmin, da in ((bx, dx), (by, dy), (bz_, dz)):
+                ds = jnp.where(jnp.abs(da) < 1e-9, 1e-9, da)
+                ta = bmin / ds
+                tb = (bmin + ext) / ds
+                t0s = jnp.maximum(t0s, jnp.minimum(ta, tb))
+                t1s = jnp.minimum(t1s, jnp.maximum(ta, tb))
+            t1s = jnp.maximum(t1s, t0s)
+            # mip bracket: the first negative coarse sample of this block
+            # (quad res), widened by 1.25 sample spacings — skips a whole
+            # 8-sample bracketing stage when the mip saw the crossing
+            sfq = jnp.sum(ohl_q * s_first, 0, keepdims=True)      # [1, 64]
+            anq = jnp.sum(ohl_q * has_neg, 0, keepdims=True)      # [1, 64]
+            sf = to_full(sfq)
+            an = to_full(anq)
+            dt = (t1s - t0s) / s_coarse
+            ts_neg = t0s + (sf + 0.5) * dt
+            lo0 = jnp.where(an > 0,
+                            jnp.maximum(ts_neg - 1.25 * dt, t0s), t0s)
+            hi0 = jnp.where(an > 0, ts_neg + 0.25 * dt, t1s)
 
             def stage(lo, hi, virtual_entry):
                 """s_refine samples over [lo, hi]; record the first
@@ -178,28 +230,30 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
                 )
                 return found > 0, tlo, thi, vlo, vhi
 
-            f1, lo1, hi1, _, _ = stage(t0s, t1s, virtual_entry=False)
-            lo1b = jnp.where(f1, lo1, t0s)
-            hi1b = jnp.where(f1, hi1, t1s)
-            f2, lo2, hi2, vlo, vhi = stage(lo1b, hi1b, virtual_entry=True)
+            f2, lo2, hi2, vlo, vhi = stage(lo0, hi0, virtual_entry=True)
             denom = vlo - vhi
             alpha = jnp.clip(
                 vlo / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom), 0.0, 1.0)
             return f2, lo2 + alpha * (hi2 - lo2)
 
+        iota_lb_q = jax.lax.broadcasted_iota(
+            jnp.int32, (LB, 64), 0).astype(jnp.float32)
         found = jnp.zeros((1, P), jnp.bool_)
         t_star = jnp.zeros((1, P))
         ohl_win = jnp.zeros((LB, P), jnp.float32)
         key = order_key
         for _ in range(k_blocks):
-            kmin = jnp.min(key, 0, keepdims=True)             # [1, P]
-            slot = jnp.min(
-                jnp.where((key <= kmin) & (kmin < jnp.inf), iota_lb, LB),
-                0, keepdims=True)                              # [1, P]
-            ohl = (iota_lb == slot).astype(jnp.float32)        # [LB, P]
-            key = jnp.where(ohl > 0, jnp.inf, key)
-            fk, tk = refine(ohl)
-            fk = fk & (slot < LB)
+            kmin = jnp.min(key, 0, keepdims=True)              # [1, 64]
+            slot_q = jnp.min(
+                jnp.where((key <= kmin) & (kmin < jnp.inf), iota_lb_q, LB),
+                0, keepdims=True)                              # [1, 64]
+            key = jnp.where(
+                iota_lb_q == slot_q, jnp.inf, key)
+            slot = to_full(slot_q)                             # [1, P]
+            ohl = (jnp.abs(iota_lb - slot) < 0.5).astype(jnp.float32)
+            ohl_q = (jnp.abs(iota_lb_q - slot_q) < 0.5).astype(jnp.float32)
+            fk, tk = refine(ohl, ohl_q)
+            fk = fk & (slot < LB - 0.5)
             better = fk & (~found | (tk < t_star))
             bf = better.astype(jnp.float32)
             t_star = jnp.where(better, tk, t_star)
