@@ -286,7 +286,7 @@ def _block_voxel_positions(block_keys: jax.Array, voxel_size: float) -> jax.Arra
     return (base[:, None, :] + local[None, :, :]) * voxel_size
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6))
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 8))
 def fuse_frame(
     vol: TsdfVolume,
     depth: jax.Array,   # [H, W] metres
@@ -295,6 +295,8 @@ def fuse_frame(
     K: jax.Array,       # 3x3
     bilinear_color: bool = False,
     use_pallas: bool = False,
+    shard_sid: jax.Array | None = None,  # this device's space-shard id
+    shard_n: int = 1,                    # number of space shards
 ) -> TsdfVolume:
     """One frame of allocation + integration (DenseMapper::ProcessFrame,
     ITMDenseMapper.tpp:33-60).  Donates the volume for in-place update."""
@@ -308,6 +310,14 @@ def fuse_frame(
         depth, c2w, fx, fy, cx, cy, p.voxel_size, p.mu,
         p.frustum_min, p.frustum_max, p.alloc_steps,
     )
+    if shard_n > 1:
+        # spatial sharding (parallel/spatial.py): this device owns only
+        # the blocks whose key-hash lands on its shard — candidate streams
+        # are identical across devices, ownership masking needs no
+        # communication
+        owner = vhash.hash_packed(cand, 1 << 30) % shard_n
+        cand = jnp.where(
+            (owner == shard_sid) & (cand != vhash.EMPTY), cand, vhash.EMPTY)
     cand = vhash.dedup_candidates(cand, p.alloc_candidate_cap)
     tk, tp, nb, bc = vhash.insert(
         vol.table_keys, vol.table_ptrs, vol.n_blocks, vol.block_coords,
