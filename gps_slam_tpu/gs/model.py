@@ -450,13 +450,38 @@ class GaussianModel:
     def num_gaussians(self) -> int:
         return int(self.pool.n_alive)
 
-    def opt_cap(self, extra: int = 0) -> int:
+    # -- async count cache: int(n_alive) is a synchronous host round trip
+    # (~30 ms over the axon tunnel); the SLAM loop instead starts an async
+    # device->host copy at the end of each window and reads it the NEXT
+    # window.  Staleness is bounded by one window's spawns, covered by the
+    # `extra` margin at the opt_cap call site.
+
+    def refresh_count_async(self) -> None:
+        a = self.pool.n_alive
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+        self._count_future = a
+
+    @property
+    def num_gaussians_cached(self) -> int:
+        fut = getattr(self, "_count_future", None)
+        if fut is not None:
+            self._count_cache = int(fut)
+            self._count_future = None
+        return getattr(self, "_count_cache", 0)
+
+    def opt_cap(self, extra: int = 0, cached: bool = False) -> int:
         """Smallest bucket covering the live prefix (+`extra` upcoming
-        spawns); full capacity when the pool is not compact."""
+        spawns); full capacity when the pool is not compact.  With
+        `cached`, uses the async count (one window stale — pass the
+        per-window spawn bound as `extra`)."""
         cap = self.pool.capacity
         if not self.pool_compact:
             return cap
-        need = self.num_gaussians + extra
+        n = self.num_gaussians_cached if cached else self.num_gaussians
+        need = n + extra
         for b in self.BUCKETS:
             if b >= need and b <= cap:
                 return b

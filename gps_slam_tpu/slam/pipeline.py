@@ -235,7 +235,7 @@ class SLAMPipeline:
         valid_vertex = jnp.abs(vertex).sum(-1) > 0
         valid = valid_depth & valid_vertex
 
-        if model.num_gaussians == 0:
+        if model.num_gaussians_cached == 0:
             color_error = jnp.abs(color - gt).mean(-1)
             mask = (color_error > p.color_error_thres) & valid
         else:
@@ -298,7 +298,9 @@ class SLAMPipeline:
         model.pool, aux = gmodel.window_optimize(
             model.pool, batch, iter_idx, model.statics,
             gmodel.tx_cfg_tuple(m), p.max_iterations, p.ssim_weight,
-            p.depth_weight, model.opt_cap(),
+            p.depth_weight,
+            model.opt_cap(extra=2 * self.cfg.tpu.max_new_gaussians,
+                          cached=True),
             jnp.asarray(active_deg, jnp.int32),
         )
         self.curr_iter += p.local_opt_iters
@@ -333,7 +335,7 @@ class SLAMPipeline:
 
     def remove_redundant(self, model: GaussianModel) -> None:
         """(removeRedundantGs :564-586)."""
-        if model.num_gaussians == 0:
+        if model.num_gaussians_cached == 0:
             return
         p = self.pipe
         model.pool, _ = gmodel.remove_redundant(
@@ -346,6 +348,8 @@ class SLAMPipeline:
         from ..gs import params as pmod
 
         model.pool = pmod.compact(model.pool)
+        # kick off the async live-count refresh consumed next window
+        model.refresh_count_async()
 
     # ------------------------------------------------------------------ eval
 

@@ -69,7 +69,10 @@ def _kernel(meta_ref, pose_ref, dwin_ref, cwin_ref, sdf_ref, w_ref, col_ref,
             uh = (i64 == jnp.clip(iu, 0, WIN - 1)).astype(jnp.float32)
             vh = (i64 == jnp.clip(iv, 0, WIN - 1)).astype(jnp.float32)
 
-            dwin = dwin_ref[c]                              # [64, 64] f32
+            d4 = dwin_ref[c]                                # [4, PT, PT] f32
+            dwin = jnp.concatenate([
+                jnp.concatenate([d4[0], d4[1]], 1),
+                jnp.concatenate([d4[2], d4[3]], 1)], 0)     # [64, 64]
             # HIGHEST: the one-hot select must not round metres through
             # bf16 MXU passes (1 cm of depth error = 0.5 sdf at mu=2 cm)
             A = jax.lax.dot_general(
@@ -78,7 +81,10 @@ def _kernel(meta_ref, pose_ref, dwin_ref, cwin_ref, sdf_ref, w_ref, col_ref,
                 precision=jax.lax.Precision.HIGHEST)        # [64, 512]
             d_meas = jnp.sum(vh * A, 0, keepdims=True)      # [1, 512]
 
-            cwin = cwin_ref[c]                              # [64, 64] u32 packed
+            c4 = cwin_ref[c]                                # [4, PT, PT] u32
+            cwin = jnp.concatenate([
+                jnp.concatenate([c4[0], c4[1]], 1),
+                jnp.concatenate([c4[2], c4[3]], 1)], 0)     # [64, 64] packed
             uh_b = uh.astype(jnp.bfloat16)
             cms = []
             for ch in range(3):
@@ -173,12 +179,11 @@ def integrate_blocks(
 
     rows0 = (ay * tw + ax).astype(jnp.int32)
     rows = rows0[:, None] + jnp.asarray([0, 1, tw, tw + 1], jnp.int32)[None]
-    def win(tiles):
-        q = tiles[rows]                                     # [V, 4, PT, PT]
-        return (q.reshape(V, 2, 2, PT, PT)
-                .transpose(0, 1, 3, 2, 4).reshape(V, WIN, WIN))
-    dwin = win(d_tiles)
-    cwin = win(c_tiles)
+    # row-gather the 2x2 tile neighborhoods; the 64x64 window is
+    # assembled INSIDE the kernel (a [V,2,32,2,32] transpose here costs
+    # ~2 ms/frame of pure layout copies)
+    dwin = d_tiles[rows]                                    # [V, 4, PT, PT]
+    cwin = c_tiles[rows]
 
     pose = jnp.concatenate([
         R.reshape(-1), t, jnp.asarray([fx, fy, cx, cy]).reshape(-1)
@@ -207,7 +212,7 @@ def integrate_blocks(
         kern,
         grid=(n_steps,),
         in_specs=[
-            meta_spec, pose_spec, spec((WIN, WIN)), spec((WIN, WIN)),
+            meta_spec, pose_spec, spec((4, PT, PT)), spec((4, PT, PT)),
             spec((BLOCK_VOL,)), spec((BLOCK_VOL,)), spec((BLOCK_VOL,)),
             spec((BLOCK_VOL,)),
         ],
