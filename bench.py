@@ -59,7 +59,7 @@ def main() -> None:
         "gaussian_capacity": 2 ** 18, "hash_size": 2 ** 21,
         "block_capacity": 2 ** 17, "visible_block_capacity": 2 ** 14,
         "max_isects": 2 ** 20, "tile_gaussian_cap": 128,
-        "raycast_lb": 24, "tiles_per_gaussian_cap": 16,
+        "raycast_lb": 16, "tiles_per_gaussian_cap": 16,
     }
     cfg = Config.from_dict(cfg_dict)
     os.makedirs(cfg.workspace_dir, exist_ok=True)
@@ -94,11 +94,28 @@ def main() -> None:
     steady_s = time.monotonic() - t0
     fps = n_frames / steady_s
 
+    # quality audit: mean PSNR of the trained model's GES render on a few
+    # frames — makes every speedup auditable as quality-neutral from the
+    # bench line alone
+    import numpy as np
+
+    from gps_slam_tpu.eval import metrics as M
+
+    psnrs = []
+    for c in cams[:: max(1, n_frames // 5)][:5]:
+        ray = engine2.run_raycast(c.c2w, c.K, width, height)
+        res = model2.forward(
+            c.c2w, c.K, ray["depth_map"][..., 0], ray["color_map"]
+        )
+        psnrs.append(M.psnr(np.clip(np.asarray(res["rgb"]), 0, 1), c.image))
+
     print(json.dumps({
         "metric": "slam_train_fps_1200x680",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 150.0, 4),
+        "psnr": round(float(np.mean(psnrs)), 2),
+        "gs_num": model2.num_gaussians,
     }))
 
 

@@ -284,7 +284,7 @@ class TpuConfig:
     max_weight: int = 100                     # TSDF running-average clamp (ITM maxW)
     alloc_steps: int = 4                      # mu-band march steps for allocation
     max_new_gaussians: int = 2 ** 14          # spawn cap per optimization window
-    raycast_lb: int = 24                      # tile raycaster: blocks per tile
+    raycast_lb: int = 16                      # tile raycaster: blocks per tile (16 == 24 on the oracle scene, -12% raycast)
     raycast_samples: int = 4                  # coarse samples per (ray, block)
     raycast_bisect: int = 6                   # bisection refinement iterations
     alloc_candidate_cap: int = 2 ** 15        # deduped block candidates per frame

@@ -105,9 +105,11 @@ def dedup_candidates(packed: jax.Array, cap: int) -> jax.Array:
     first = jnp.concatenate(
         [jnp.ones((1,), bool), s[1:] != s[:-1]]
     ) & (s != EMPTY)
-    idx, = jnp.nonzero(first, size=cap, fill_value=0)
-    ok = jnp.arange(cap) < jnp.sum(first.astype(jnp.int32))
-    return jnp.where(ok, s[idx], EMPTY)
+    # compact by a second sort (EMPTY = 0xFFFFFFFF sorts to the end):
+    # a nonzero() compaction here lowers to a scalar-core cumsum+scatter
+    # that costs ~3x the sort itself
+    s2 = jnp.sort(jnp.where(first, s, EMPTY))
+    return s2[:cap]
 
 
 def insert(

@@ -206,29 +206,29 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
                 """s_refine samples over [lo, hi]; record the first
                 sign crossing.  virtual_entry registers a crossing at the
                 entry plane when the block is entered already negative
-                (the seam case — trilinear clamps at block faces)."""
-                prev_v0 = jnp.full((1, P), 1e-3 if virtual_entry else jnp.inf)
+                (the seam case — trilinear clamps at block faces).
 
-                def body(q, st):
-                    found, tlo, thi, vlo, vhi, pt, pv = st
-                    frac = q.astype(jnp.float32) / (s_refine - 1)
-                    tq = lo + (hi - lo) * frac
-                    v = tri(cube, bx, by, bz_, tq)
-                    crossing = ((found < 1) & (pv >= 0) & (pv < 1e9)
-                                & (v < 0))
-                    tlo = jnp.where(crossing, pt, tlo)
-                    thi = jnp.where(crossing, tq, thi)
-                    vlo = jnp.where(crossing, pv, vlo)
-                    vhi = jnp.where(crossing, v, vhi)
-                    found = jnp.maximum(found, crossing.astype(jnp.float32))
-                    return (found, tlo, thi, vlo, vhi, tq, v)
-
+                The samples are UNROLLED (not a fori_loop): each tri eval
+                is independent, and exposing that lets Mosaic overlap the
+                short dependency chains instead of serializing 8 loop
+                iterations (~2x on this stage)."""
+                ts = [lo + (hi - lo) * (q / (s_refine - 1))
+                      for q in range(s_refine)]
+                vs = [tri(cube, bx, by, bz_, tq) for tq in ts]
+                if virtual_entry:
+                    ts = [lo] + ts
+                    vs = [jnp.full((1, P), 1e-3)] + vs
+                found = jnp.zeros((1, P), jnp.bool_)
                 z = jnp.zeros((1, P))
-                found, tlo, thi, vlo, vhi, _, _ = jax.lax.fori_loop(
-                    0, s_refine, body,
-                    (jnp.zeros((1, P), jnp.float32), z, z, z, z, lo, prev_v0),
-                )
-                return found > 0, tlo, thi, vlo, vhi
+                tlo, thi, vlo, vhi = z, z, z, z
+                for i in range(len(vs) - 1):
+                    crossing = (~found) & (vs[i] >= 0) & (vs[i] < 1e9) & (vs[i + 1] < 0)
+                    tlo = jnp.where(crossing, ts[i], tlo)
+                    thi = jnp.where(crossing, ts[i + 1], thi)
+                    vlo = jnp.where(crossing, vs[i], vlo)
+                    vhi = jnp.where(crossing, vs[i + 1], vhi)
+                    found = found | crossing
+                return found, tlo, thi, vlo, vhi
 
             f2, lo2, hi2, vlo, vhi = stage(lo0, hi0, virtual_entry=True)
             denom = vlo - vhi
