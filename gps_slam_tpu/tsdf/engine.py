@@ -73,6 +73,14 @@ class TsdfEngine:
                 "behaviour_on_failure", "ignore"
             )
         )
+        # ViewBuilder depth filtering (ITMLibSettings useBilateralFilter,
+        # default false in the reference, ITMLibSettings.cpp:39);
+        # optional YAML key PIPE.TSDF.use_bilateral_filter
+        self.use_bilateral_filter = bool(
+            (cfg.raw.get("PIPE", {}).get("TSDF", {}) or {}).get(
+                "use_bilateral_filter", False
+            )
+        )
         self.relocalizer = None
         if self.failure_policy == "relocalise":
             from ..slam.relocalizer import FernRelocalizer
@@ -102,6 +110,13 @@ class TsdfEngine:
         is slow)."""
         i = self.current_frame
         skip_fusion = False
+        if self.use_bilateral_filter:
+            from ..utils.se3 import bilateral_filter_depth
+
+            d_ = jnp.asarray(depth)
+            if d_.ndim == 3:
+                d_ = d_[..., 0]
+            depth = bilateral_filter_depth(d_)
         if self.tracking_active and self._tracker is not None and i > 0:
             pose, quality = self._tracker.track(
                 self._last_pose,

@@ -204,3 +204,40 @@ def compute_normal_map(vertex_map: jax.Array) -> jax.Array:
 def transform_points(points: jax.Array, T: jax.Array) -> jax.Array:
     """Apply a 4x4 transform to [..., 3] points."""
     return jnp.matmul(points, T[:3, :3].T, precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
+
+
+@jax.jit
+def bilateral_filter_depth(depth: jax.Array) -> jax.Array:
+    """Edge-preserving 5x5 bilateral depth filter — the reference's
+    ViewBuilder depth filtering (filterDepth,
+    InfiniTAM/ITMLib/Engines/ViewBuilding/Shared/ITMViewBuilder_Shared.h:39-67,
+    enabled by useBilateralFilter; same spatial kernel exp(-0.5 (|i|+|j|)
+    sigma_L^2) and Kinect noise-model range sigma).
+
+    TPU shape: the 25 taps are static shifted slices of a padded plane —
+    no gathers; invalid (<= 0) depths pass through as 0."""
+    z = depth
+    valid = z > 0.0
+    SIG_L = 1.2232
+    sigma_z = 1.0 / (
+        0.0012
+        + 0.0019 * (z - 0.4) ** 2
+        + 0.0001 / jnp.sqrt(jnp.maximum(z, 1e-3)) * 0.25
+    )
+    H, W = z.shape
+    zp = jnp.pad(z, 2)
+    wsum = jnp.zeros_like(z)
+    acc = jnp.zeros_like(z)
+    for i in range(-2, 3):
+        for j in range(-2, 3):
+            nb = jax.lax.dynamic_slice(zp, (2 + i, 2 + j), (H, W))
+            ok = nb > 0.0
+            dz2 = (nb - z) ** 2
+            w = jnp.exp(
+                -0.5 * ((abs(i) + abs(j)) * SIG_L * SIG_L
+                        + dz2 * sigma_z * sigma_z)
+            ) * ok.astype(z.dtype)
+            wsum = wsum + w
+            acc = acc + w * nb
+    out = acc / jnp.maximum(wsum, 1e-12)
+    return jnp.where(valid, out, 0.0)

@@ -77,3 +77,26 @@ def test_rot_trans_compare(rng):
     R90 = se3.quat_to_rotmat(jnp.array([np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)]))
     assert abs(float(se3.rot_angle_deg(R, R90)) - 90.0) < 1e-3
     assert abs(float(se3.trans_dist(jnp.zeros(3), jnp.array([3.0, 4.0, 0.0]))) - 5.0) < 1e-5
+
+
+def test_bilateral_filter_depth():
+    """ViewBuilder depth filter: smooths noise, preserves edges, keeps
+    holes (ITMViewBuilder_Shared.h:39-67)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gps_slam_tpu.utils.se3 import bilateral_filter_depth
+
+    rng = np.random.default_rng(3)
+    base = np.full((40, 60), 2.0, np.float32)
+    base[:, 30:] = 1.0                       # depth edge
+    noisy = base + rng.normal(0, 0.004, base.shape).astype(np.float32)
+    noisy[5, 5] = 0.0                        # hole
+    out = np.asarray(bilateral_filter_depth(jnp.asarray(noisy)))
+    # noise reduced away from the edge
+    assert out[10:30, 5:25].std() < 0.65 * noisy[10:30, 5:25].std()
+    # edge magnitude preserved (no blur across the jump)
+    assert abs(out[20, 28] - out[20, 32]) > 0.9
+    # holes stay holes; valid pixels stay valid
+    assert out[5, 5] == 0.0
+    assert (out[base > 0] >= 0).all()
