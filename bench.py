@@ -57,7 +57,7 @@ def main() -> None:
     cfg_dict["MODEL"].update(sh_degree=3)
     cfg_dict["TPU"] = {
         "gaussian_capacity": 2 ** 18, "hash_size": 2 ** 21,
-        "block_capacity": 2 ** 17, "visible_block_capacity": 2 ** 14,
+        "block_capacity": 2 ** 17, "visible_block_capacity": 2 ** 13,
         "max_isects": 2 ** 20, "tile_gaussian_cap": 128,
         "raycast_lb": 16, "tiles_per_gaussian_cap": 16,
     }

@@ -176,8 +176,22 @@ def visible_blocks(
         )
         vis = vis & in_band
 
-    (idx,) = jnp.nonzero(vis, size=p.visible_capacity, fill_value=-1)
-    return idx.astype(jnp.int32)
+    # nearest-first overflow: when the visible set exceeds
+    # visible_capacity, FAR blocks drop (their pixel footprint is
+    # coarsest) instead of arbitrary allocation-order drops — an
+    # undersized cap then degrades resolution gracefully rather than
+    # punching integration holes (a 4096 cap at bench scale cost 13 dB
+    # of PSNR with allocation-order drops).  Two-stage: a cheap nonzero
+    # to 2x the cap, then a depth sort of only that subset (a full-pool
+    # argsort costs ~7 ms/frame at 2^17).
+    pre = min(2 * p.visible_capacity, B)
+    (idx0,) = jnp.nonzero(vis, size=pre, fill_value=-1)
+    ok0 = idx0 >= 0
+    key = jnp.where(ok0, (sz / 8.0)[jnp.where(ok0, idx0, 0)], jnp.inf)
+    order = jnp.argsort(key)[: p.visible_capacity]
+    idx = idx0[order].astype(jnp.int32)
+    ok = jnp.take(key, order) < jnp.inf
+    return jnp.where(ok, idx, -1)
 
 
 PT = 32  # image tile edge for windowed sampling
