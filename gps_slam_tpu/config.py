@@ -288,6 +288,7 @@ class TpuConfig:
     raycast_samples: int = 4                  # coarse samples per (ray, block)
     raycast_bisect: int = 6                   # bisection refinement iterations
     alloc_candidate_cap: int = 2 ** 15        # deduped block candidates per frame
+    visible_sort_overflow: bool = True        # nearest-first visible-list overflow
     active_tile_cap: int = 2048               # Gaussian-occupied tiles per render
 
     @staticmethod

@@ -50,6 +50,7 @@ class TsdfEngine:
             raycast_steps=tpu.raycast_max_steps,
             alloc_candidate_cap=tpu.alloc_candidate_cap,
             raycast_lb=tpu.raycast_lb,
+            visible_sort_overflow=bool(tpu.visible_sort_overflow),
             raycast_samples=tpu.raycast_samples,
             raycast_bisect=tpu.raycast_bisect,
         )

@@ -176,6 +176,9 @@ def visible_blocks(
         )
         vis = vis & in_band
 
+    if not p.visible_sort_overflow:
+        (idx,) = jnp.nonzero(vis, size=p.visible_capacity, fill_value=-1)
+        return idx.astype(jnp.int32)
     # nearest-first overflow: when the visible set exceeds
     # visible_capacity, FAR blocks drop (their pixel footprint is
     # coarsest) instead of arbitrary allocation-order drops — an

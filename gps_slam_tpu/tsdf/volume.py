@@ -48,6 +48,11 @@ class TsdfParams:
     # integrate only blocks near the measured depth band (True) or every
     # visible block incl. free-space carving (False = reference semantics)
     band_only_integration: bool = struct.field(pytree_node=False, default=True)
+    # visible-list overflow policy: True = nearest-first (drop FAR blocks
+    # when the set exceeds visible_capacity; costs a 2x-cap depth sort
+    # ~5 ms/frame at bench scale), False = allocation order (free; safe
+    # only when the cap is known to cover the scene's visible set)
+    visible_sort_overflow: bool = struct.field(pytree_node=False, default=True)
     raycast_steps: int = struct.field(pytree_node=False, default=96)
     refine_steps: int = struct.field(pytree_node=False, default=3)
 
