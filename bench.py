@@ -95,23 +95,52 @@ def main() -> None:
     jax.block_until_ready(pipe2.frame_cache.get(cams[-1])[0])
     t0 = time.monotonic()
     pipe2.slam_train_cams(model2, cams)
+    # close the timing window with real value fetches: block_until_ready
+    # is a no-op over the axon tunnel once the dispatch queue is deep
+    # (PERF.md), so any queued fusion/optimizer work must drain into the
+    # measured interval via these fetches (n_blocks depends on the last
+    # fuse_frame, n_alive on the last prune)
+    int(engine2.vol.n_blocks)
+    int(model2.pool.n_alive)
     steady_s = time.monotonic() - t0
     fps = n_frames / steady_s
 
-    # quality audit: mean PSNR of the trained model's GES render on a few
-    # frames — makes every speedup auditable as quality-neutral from the
-    # bench line alone
+    # honest per-phase timing pass (LOG_PIPELINE_TIME equivalent): a short
+    # sync-mode run where every phase ends in a value fetch, so the
+    # [PIPELINE AVG TIME] columns below are true device-time attribution
+    # (the async run's columns are wall-clock-true in total only).  Kept
+    # separate from the headline: per-frame hard syncs serialize the
+    # pipeline ~3x (PERF.md), mirroring the reference's
+    # profiling-vs-artifacts exclusivity (slam_pipeline.cpp:204-219).
+    n_sync = min(30, n_frames)
+    engine3 = TsdfEngine(cfg, width, height, cam0.K)
+    engine3.set_gt_poses([c.c2w for c in cams[:n_sync]])
+    engine3.turn_off_tracking()
+    model3 = GaussianModel(cfg, width, height)
+    pipe3 = SLAMPipeline(cfg, engine3, cfg.workspace_dir, is_train=False)
+    pipe3.log_pipeline_time = True
+    pipe3.frame_cache = pipe2.frame_cache  # frames already on device
+    print("[SYNC PHASE TIMING] (value-fetch-bracketed phases, "
+          f"{n_sync} frames)")
+    pipe3.slam_train_cams(model3, cams[:n_sync])
+
+    # quality audit: mean PSNR/SSIM of the trained model's GES render over
+    # 10 spread frames — makes every speedup auditable as quality-neutral
+    # from the bench line alone; gs_num tracks the compactness headline
+    # (the reference claims ~50% fewer Gaussians, README.md:8)
     import numpy as np
 
     from gps_slam_tpu.eval import metrics as M
 
-    psnrs = []
-    for c in cams[:: max(1, n_frames // 5)][:5]:
+    psnrs, ssims = [], []
+    for c in cams[:: max(1, n_frames // 10)][:10]:
         ray = engine2.run_raycast(c.c2w, c.K, width, height)
         res = model2.forward(
             c.c2w, c.K, ray["depth_map"][..., 0], ray["color_map"]
         )
-        psnrs.append(M.psnr(np.clip(np.asarray(res["rgb"]), 0, 1), c.image))
+        img = np.clip(np.asarray(res["rgb"]), 0, 1)
+        psnrs.append(M.psnr(img, c.image))
+        ssims.append(M.ssim(img, c.image))
 
     print(json.dumps({
         "metric": "slam_train_fps_1200x680",
@@ -119,6 +148,7 @@ def main() -> None:
         "unit": "fps",
         "vs_baseline": round(fps / 150.0, 4),
         "psnr": round(float(np.mean(psnrs)), 2),
+        "ssim": round(float(np.mean(ssims)), 4),
         "gs_num": model2.num_gaussians,
     }))
 

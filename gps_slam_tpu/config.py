@@ -290,6 +290,15 @@ class TpuConfig:
     alloc_candidate_cap: int = 2 ** 15        # deduped block candidates per frame
     visible_sort_overflow: bool = True        # nearest-first visible-list overflow
     active_tile_cap: int = 2048               # Gaussian-occupied tiles per render
+    # host-swapping analog (InfiniTAM Engines/Swapping, default-disabled
+    # like the reference, ITMLibSettings.cpp:33)
+    enable_swapping: bool = False
+    swap_check_interval: int = 10             # frames between cursor checks
+    swap_high_water: float = 0.85             # spill when n_blocks exceeds this
+    swap_low_water: float = 0.70              # pool occupancy after a spill
+    # spatial sharding of the voxel pools across a device mesh
+    # (parallel/spatial.py); 1 = single-volume path
+    space_shards: int = 1
 
     @staticmethod
     def from_node(n: dict | None) -> "TpuConfig":
@@ -297,7 +306,9 @@ class TpuConfig:
         base = TpuConfig()
         kwargs = {}
         for f in dataclasses.fields(TpuConfig):
-            kwargs[f.name] = int(n.get(f.name, getattr(base, f.name)))
+            default = getattr(base, f.name)
+            cast = type(default)  # bool/int/float by the field's default
+            kwargs[f.name] = cast(n.get(f.name, default))
         return TpuConfig(**kwargs)
 
 

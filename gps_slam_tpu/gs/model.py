@@ -276,14 +276,16 @@ def window_optimize(
     calive = pool.alive[:opt_cap]
     opt_state = tx.init(cparams)
 
-    # one binning per window camera, stacked [M, ...]
+    # one binning per window camera, stacked [M, ...].  vmap (not lax.map):
+    # the 9 cameras' pair sorts batch into ONE multi-row sort call — the
+    # sequential lax.map version cost ~7 ms/camera of serialized sort +
+    # compaction (round-3 xplane trace)
     def make_bins(cam):
         return ges_bin(cparams, calive, cam["c2w"], cam["K"], st,
                        margin_px=st.bin_margin_px)
 
-    bins = jax.lax.map(
-        make_bins, {"c2w": cam_batch["c2w"], "K": cam_batch["K"]}
-    )
+    bins = jax.vmap(
+        make_bins)({"c2w": cam_batch["c2w"], "K": cam_batch["K"]})
 
     def step(carry, cam_i):
         prms, ostate = carry
@@ -365,7 +367,8 @@ def add_gaussians(
     """SLAM-mode spawning (SLAMGaussianModel::addGaussians,
     slam_gs_model.cpp:5-56): take `sample_ratio` of masked pixels at random,
     init attributes from vertex/color/normal maps, scatter into the pool.
-    Returns (pool, n_added)."""
+    Returns (pool, n_added, n_overflow) where n_overflow counts wanted
+    samples clipped by the `max_new` static cap (no silent caps)."""
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     flat_mask = sample_mask.reshape(-1)
@@ -377,9 +380,9 @@ def add_gaussians(
     prio = jax.random.uniform(rng_key, flat_mask.shape)
     prio = jnp.where(flat_mask, prio, jnp.inf)
     idx = jnp.argsort(prio)[:max_new]
-    n_select = jnp.minimum(
-        (n_valid.astype(jnp.float32) * sample_ratio).astype(jnp.int32), max_new
-    )
+    n_want = (n_valid.astype(jnp.float32) * sample_ratio).astype(jnp.int32)
+    n_select = jnp.minimum(n_want, max_new)
+    n_overflow = n_want - n_select
     xyz = vertex_map.reshape(-1, 3)[idx]
     rgb = color_map.reshape(-1, 3)[idx]
     nrm = normal_map.reshape(-1, 3)[idx]
@@ -391,7 +394,7 @@ def add_gaussians(
     attrs = pmod.init_attributes(
         xyz, rgb, nrm, pool.sh_degree, default_opacity, max_s, min_s
     )
-    return pmod.add(pool, attrs, n_select), n_select
+    return pmod.add(pool, attrs, n_select), n_select, n_overflow
 
 
 @partial(jax.jit, donate_argnums=(0,))

@@ -193,6 +193,178 @@ def bin_gaussians_active(
     )
 
 
+def _pack_attrs(means2d, conics, colors, gauss_depth, opacities):
+    """One row per gaussian so the per-tile fetch is a contiguous row
+    gather.  Layout: [xy(2) | conic(3) | colors(C) | depth(1) | opac(1) |
+    one(1) | pad to 16]."""
+    packed = jnp.concatenate(
+        [means2d, conics, colors, gauss_depth[:, None], opacities[:, None],
+         jnp.ones((means2d.shape[0], 1), means2d.dtype)], axis=1,
+    )
+    pad_cols = (-packed.shape[1]) % 8
+    if pad_cols:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((packed.shape[0], pad_cols), packed.dtype)], 1
+        )
+    return packed
+
+
+def _pair_terms(g, vld, ref_t, px_t, py_t, C, delta_depth):
+    """Recompute the per-(gaussian, pixel) splat terms for one tile chunk
+    — shared verbatim between forward and backward (the backward
+    RECOMPUTES alpha instead of staging [A, L, P] residuals through HBM,
+    the same trade the reference's Gaussian-parallel backward makes,
+    rasterize_to_pixels_bwd_ges_new_parallel.cu:118-171)."""
+    xy = g[..., 0:2]
+    cn = g[..., 2:5]
+    gd = g[..., 5 + C]
+    op = g[..., 6 + C]
+    ce = jnp.concatenate([g[..., 5:5 + C], g[..., 7 + C:8 + C]], -1)
+
+    dx = xy[..., None, 0] - px_t[:, None, :]   # [chunk, L, P]
+    dy = xy[..., None, 1] - py_t[:, None, :]
+    sigma = (
+        0.5 * (cn[..., None, 0] * dx * dx + cn[..., None, 2] * dy * dy)
+        + cn[..., None, 1] * dx * dy
+    )
+    e = jnp.exp(-sigma)
+    raw_alpha = op[..., None] * e
+    alpha = jnp.minimum(0.999, raw_alpha)
+    keep = (
+        vld[..., None]
+        & (sigma >= 0.0)
+        & (alpha >= 1.0 / 255.0)
+        & (gd[..., None] <= ref_t[:, None, :] + delta_depth)
+    )
+    w = jnp.where(keep, alpha, 0.0)            # [chunk, L, P]
+    return w, ce, dx, dy, e, raw_alpha, keep, cn, op
+
+
+def _splat_fwd_impl(static, means2d, conics, colors, opacities, gauss_depth,
+                    gids, valid, ref_tiles, px, py):
+    """Tile-space weighted sums -> [A_pad, P, C+1]."""
+    delta_depth, chunk = static
+    C = colors.shape[1]
+    A_pad = gids.shape[0]
+    P = px.shape[1]
+    n_chunks = A_pad // chunk
+    packed = _pack_attrs(means2d, conics, colors, gauss_depth, opacities)
+
+    def body(carry, xs):
+        gid, vld, ref_t, px_t, py_t = xs
+        g = packed[gid]                      # [chunk, L, 16] row gather
+        w, ce, *_ = _pair_terms(g, vld, ref_t, px_t, py_t, C, delta_depth)
+        out = jnp.einsum(
+            "clp,clk->cpk", w.astype(jnp.bfloat16), ce.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )                                           # [chunk, P, C+1]
+        return carry, out
+
+    xs = tuple(
+        x.reshape(n_chunks, chunk, *x.shape[1:])
+        for x in (gids, valid, ref_tiles, px, py)
+    )
+    _, outs = jax.lax.scan(body, None, xs)
+    return outs.reshape(A_pad, P, C + 1)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ges_splat(static, means2d, conics, colors, opacities, gauss_depth,
+               gids, valid, ref_tiles, px, py):
+    return _splat_fwd_impl(static, means2d, conics, colors, opacities,
+                           gauss_depth, gids, valid, ref_tiles, px, py)
+
+
+def _ges_splat_fwd(static, means2d, conics, colors, opacities, gauss_depth,
+                   gids, valid, ref_tiles, px, py):
+    out = _splat_fwd_impl(static, means2d, conics, colors, opacities,
+                          gauss_depth, gids, valid, ref_tiles, px, py)
+    res = (means2d, conics, colors, opacities, gauss_depth,
+           gids, valid, ref_tiles, px, py)
+    return out, res
+
+
+def _ges_splat_bwd(static, res, v_out):
+    """Gaussian-parallel backward: recompute alpha per chunk (nothing
+    staged across scan steps), reduce each pair's 10 gradient components
+    over its pixels, then segment-sum pairs -> gaussians with ONE sorted
+    reorder + cumsum instead of scatter-adds (TPU scatter-add runs on the
+    scalar core; a row gather + cumsum + boundary gather is ~10x faster
+    at the 262k-pair scale).  Math mirrors temp_bwd_kernel
+    (rasterize_to_pixels_bwd_ges_new_parallel.cu:142-199): v_rgb = alpha
+    * v_out, v_alpha = ce . v_out, v_sigma = -alpha * v_alpha, conic/xy
+    chain rule; no gradient flows through the depth cut or the 0.999
+    clamp, exactly like the reference."""
+    delta_depth, chunk = static
+    (means2d, conics, colors, opacities, gauss_depth,
+     gids, valid, ref_tiles, px, py) = res
+    C = colors.shape[1]
+    N = means2d.shape[0]
+    A_pad, L = gids.shape
+    n_chunks = A_pad // chunk
+    packed = _pack_attrs(means2d, conics, colors, gauss_depth, opacities)
+
+    def body(carry, xs):
+        gid, vld, ref_t, px_t, py_t, v_o = xs    # v_o: [chunk, P, C+1]
+        g = packed[gid]
+        w, ce, dx, dy, e, raw_alpha, keep, cn, op = _pair_terms(
+            g, vld, ref_t, px_t, py_t, C, delta_depth)
+        # d out / d ce = w  ->  v_ce [chunk, L, C+1]
+        v_ce = jnp.einsum(
+            "clp,cpk->clk", w.astype(jnp.bfloat16), v_o.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        # d out / d w = ce  ->  v_w [chunk, L, P]
+        v_w = jnp.einsum(
+            "cpk,clk->clp", v_o.astype(jnp.bfloat16), ce.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        live = keep & (raw_alpha < 0.999)        # clamp + cut gate
+        dalpha = jnp.where(live, v_w, 0.0)
+        v_op = jnp.sum(dalpha * e, axis=-1)                       # [chunk, L]
+        v_sigma = -dalpha * raw_alpha                             # [chunk,L,P]
+        v_ca = jnp.sum(v_sigma * 0.5 * dx * dx, axis=-1)
+        v_cb = jnp.sum(v_sigma * dx * dy, axis=-1)
+        v_cc = jnp.sum(v_sigma * 0.5 * dy * dy, axis=-1)
+        v_dx = v_sigma * (cn[..., None, 0] * dx + cn[..., None, 1] * dy)
+        v_dy = v_sigma * (cn[..., None, 2] * dy + cn[..., None, 1] * dx)
+        v_x = jnp.sum(v_dx, axis=-1)
+        v_y = jnp.sum(v_dy, axis=-1)
+        contrib = jnp.concatenate(
+            [jnp.stack([v_x, v_y, v_ca, v_cb, v_cc], axis=-1),
+             v_ce[..., :C], v_op[..., None]], axis=-1)  # [chunk, L, 6+C]
+        return carry, contrib
+
+    xs = tuple(
+        x.reshape(n_chunks, chunk, *x.shape[1:])
+        for x in (gids, valid, ref_tiles, px, py, v_out)
+    )
+    _, contribs = jax.lax.scan(body, None, xs)
+    K = 6 + C
+    flat = contribs.reshape(A_pad * L, K)
+    gidf = jnp.where(valid.reshape(-1), gids.reshape(-1), N)
+    order = jnp.argsort(gidf)
+    gs = gidf[order]
+    cs = jnp.cumsum(flat[order].astype(jnp.float32), axis=0)
+    ar = jnp.arange(N, dtype=gs.dtype)
+    lo = jnp.searchsorted(gs, ar)                 # [N]
+    hi = jnp.searchsorted(gs, ar + 1)
+    top = cs[jnp.clip(hi - 1, 0, cs.shape[0] - 1)]
+    bot = jnp.where((lo > 0)[:, None], cs[jnp.clip(lo - 1, 0, cs.shape[0] - 1)], 0.0)
+    seg = jnp.where((hi > lo)[:, None], top - bot, 0.0)  # [N, K]
+
+    v_means2d = seg[:, 0:2]
+    v_conics = seg[:, 2:5]
+    v_colors = seg[:, 5:5 + C]
+    v_opac = seg[:, 5 + C]
+    return (v_means2d, v_conics, v_colors, v_opac,
+            None, None, None, None, None, None)
+
+
+_ges_splat.defvjp(_ges_splat_fwd, _ges_splat_bwd)
+
+
 def ges_rasterize_active(
     means2d: jax.Array,     # [N, 2] (differentiable)
     conics: jax.Array,      # [N, 3]
@@ -211,12 +383,16 @@ def ges_rasterize_active(
     the per-tile contraction runs only over bins.tiles.  Inactive tiles
     produce exact zeros (so the caller's base blend is exact).  Color/weight
     contraction in bf16 with f32 accumulation (colors are display-range,
-    alphas <= 1 — bf16's 8 mantissa bits are below sensor noise)."""
+    alphas <= 1 — bf16's 8 mantissa bits are below sensor noise).
+
+    Differentiation goes through a custom VJP (_ges_splat): the backward
+    recomputes alpha chunk-by-chunk instead of letting jax.grad stage the
+    [A, L, P] scan intermediates through HBM (measured ~2.7 GB/iteration
+    at act_cap 2048 — the round-2 optimizer bottleneck)."""
     tile_w = -(-width // tile_size)
     tile_h = -(-height // tile_size)
     T = tile_w * tile_h
     A = bins.tiles.shape[0]
-    L = bins.gids.shape[1]
     C = colors.shape[1]
     P = tile_size * tile_size
 
@@ -253,51 +429,13 @@ def ges_rasterize_active(
     px = tx[:, None] + (pp % tile_size)[None, :] + 0.5      # [A_pad, P]
     py = ty[:, None] + (pp // tile_size)[None, :] + 0.5
 
-    packed = jnp.concatenate(
-        [means2d, conics, colors, gauss_depth[:, None], opacities[:, None],
-         jnp.ones((means2d.shape[0], 1), means2d.dtype)], axis=1,
+    out = _ges_splat(
+        (float(delta_depth), int(chunk)),
+        means2d, conics, colors, opacities, gauss_depth,
+        gids, jax.lax.stop_gradient(valid),
+        jax.lax.stop_gradient(ref_tiles),
+        jax.lax.stop_gradient(px), jax.lax.stop_gradient(py),
     )
-    pad_cols = (-packed.shape[1]) % 8
-    if pad_cols:
-        packed = jnp.concatenate(
-            [packed, jnp.zeros((packed.shape[0], pad_cols), packed.dtype)], 1
-        )
-
-    def body(carry, xs):
-        gid, vld, ref_t, px_t, py_t = xs
-        g = packed[gid]                      # [chunk, L, 16] row gather
-        xy = g[..., 0:2]
-        cn = g[..., 2:5]
-        gd = g[..., 5 + C]
-        op = g[..., 6 + C]
-        ce = jnp.concatenate([g[..., 5:5 + C], g[..., 7 + C:8 + C]], -1)
-
-        dx = xy[..., None, 0] - px_t[:, None, :]   # [chunk, L, P]
-        dy = xy[..., None, 1] - py_t[:, None, :]
-        sigma = (
-            0.5 * (cn[..., None, 0] * dx * dx + cn[..., None, 2] * dy * dy)
-            + cn[..., None, 1] * dx * dy
-        )
-        alpha = jnp.minimum(0.999, op[..., None] * jnp.exp(-sigma))
-        keep = (
-            vld[..., None]
-            & (sigma >= 0.0)
-            & (alpha >= 1.0 / 255.0)
-            & (gd[..., None] <= ref_t[:, None, :] + delta_depth)
-        )
-        w = jnp.where(keep, alpha, 0.0)            # [chunk, L, P]
-        out = jnp.einsum(
-            "clp,clk->cpk", w.astype(jnp.bfloat16), ce.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )                                           # [chunk, P, C+1]
-        return carry, out
-
-    xs = tuple(
-        x.reshape(n_chunks, chunk, *x.shape[1:])
-        for x in (gids, valid, ref_tiles, px, py)
-    )
-    _, outs = jax.lax.scan(body, None, xs)
-    out = outs.reshape(A_pad, P, C + 1)
 
     # scatter into the full tile grid (padding rows target tile T -> drop)
     full = jnp.zeros((T, P, C + 1), out.dtype).at[tiles].set(out, mode="drop")

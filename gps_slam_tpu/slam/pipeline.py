@@ -73,16 +73,44 @@ class SLAMPipeline:
                 self._tb = None
         self.scene_scale = 1.0
         self._pose_idx: dict[int, int] = {}  # cam.id -> cam_poses index
+        self._spawn_overflow = None  # device i32: spawn samples clipped by max_new
+        # LOG_PIPELINE_TIME equivalent (slam_pipeline.cpp:7,54-66): the
+        # reference brackets each phase with cudaDeviceSynchronize; the
+        # only true sync over the axon tunnel is a value fetch
+        # (block_until_ready returns early once the dispatch queue is
+        # deep), so this mode ends every phase in a tiny scalar fetch.
+        # Default off: per-frame hard syncs serialize the async pipeline
+        # (~3x wall-clock, PERF.md) — honest phase columns cost throughput,
+        # exactly like the reference's profiling-vs-artifacts exclusivity.
+        self.log_pipeline_time = bool(
+            (cfg.raw.get("PIPE", {}) or {}).get("log_pipeline_time", False)
+        )
+        self._last_loss_hist = None
         # timing accumulators (LOG_PIPELINE_TIME equivalents)
         self.t_fusion = self.t_local_raycast = self.t_key_raycast = 0.0
         self.t_init_gs = self.t_opt = self.t_remove = 0.0
 
     # ------------------------------------------------------------------ loop
 
+    def _phase_sync(self, x) -> None:
+        """End a timed phase in a real device-value fetch (honest-timing
+        mode only).  A scalar slice of a dependent array forces the queued
+        device work to drain before the clock is read — the equivalent of
+        the reference's cudaDeviceSynchronize brackets
+        (slam_pipeline.cpp:54-66)."""
+        if x is None:
+            return
+        a = jnp.asarray(x)
+        float(a.ravel()[0])
+
     def slam_train_cams(self, model: GaussianModel, cams: list[Camera]) -> None:
         """SLAMTrainCams (slam_pipeline.cpp:52-173)."""
         p = self.pipe
         total = len(cams)
+        sync = self.log_pipeline_time
+        # seed the async live-count cache (nonzero when a loaded model
+        # resumes; the windowed loop keeps it fresh from here on)
+        model.refresh_count_async()
         t_start = time.monotonic()
         for i, cam in enumerate(cams):
             t0 = time.monotonic()
@@ -94,7 +122,10 @@ class SLAMPipeline:
             for ahead in range(1, 3):
                 if i + ahead < total:
                     self.frame_cache.get(cams[i + ahead])
-            jax.block_until_ready(self.engine.vol.n_blocks)
+            if sync:
+                int(jnp.sum(self.engine.vol.n_blocks))  # [S] when sharded
+            else:
+                jax.block_until_ready(self.engine.vol.n_blocks)
             cam.c2w_slam = np.asarray(pose)
             # cam.id is a global read index over train+val; cam_poses only
             # accumulates PROCESSED (train) frames — record the mapping so
@@ -110,17 +141,29 @@ class SLAMPipeline:
             if i % p.local_opt_interval == 0 and i > 0:
                 t1 = time.monotonic()
                 self.local_frame_raycast()
+                if sync:
+                    self._phase_sync(
+                        self.localframe_raycast_window[-1]["depth_map"])
                 t2 = time.monotonic()
                 self.key_frame_raycast()
+                if sync:
+                    self._phase_sync(self.opt_raycast_list[-1]["depth_map"])
                 t3 = time.monotonic()
                 self.init_new_gaussians(model, self.localframe_raycast_window[-1])
+                if sync:
+                    int(model.pool.n_alive)
                 t4 = time.monotonic()
                 self.local_optimize(model)
+                if sync:
+                    self._phase_sync(self._last_loss_hist)
                 t5 = time.monotonic()
                 self.remove_redundant(model)
                 if self.pipe.kf_sample_method == "ours":
                     self.check_key_frame_error(model)
-                jax.block_until_ready(model.pool.n_alive)
+                if sync:
+                    int(model.pool.n_alive)
+                else:
+                    jax.block_until_ready(model.pool.n_alive)
                 t6 = time.monotonic()
                 self.t_local_raycast += (t2 - t1) * 1000
                 self.t_key_raycast += (t3 - t2) * 1000
@@ -151,12 +194,21 @@ class SLAMPipeline:
             mem_mb = int(stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) // 2**20)
         except Exception:
             pass
+        overflow = (
+            int(self._spawn_overflow) if self._spawn_overflow is not None else 0
+        )
+        if self._tb is not None:
+            self._tb.add_scalar("opt_state/spawn_overflow", overflow, self.curr_iter)
         print(line, end="")
         print(f"GPU memory usage: {mem_mb} MB")
+        if overflow > 0:
+            print(f"[SPAWN OVERFLOW] {overflow} masked samples beyond "
+                  f"max_new_gaussians were dropped")
         os.makedirs(self.workspace_dir, exist_ok=True)
         with open(os.path.join(self.workspace_dir, "time_log.txt"), "w") as f:
             f.write(line)
             f.write(f"GPU memory usage: {mem_mb} MB\n")
+            f.write(f"Spawn overflow: {overflow}\n")
 
     # --------------------------------------------------------------- windows
 
@@ -187,7 +239,8 @@ class SLAMPipeline:
 
     # --------------------------------------------------------------- raycast
 
-    def run_raycast_by_cam(self, cam: Camera, use_cam_depth: bool = False) -> dict:
+    def run_raycast_by_cam(self, cam: Camera, use_cam_depth: bool = False,
+                           quality: bool = False) -> dict:
         """(runRaycastByCam, slam_pipeline.cpp:362-415): raycast with the
         engine-recorded pose when available, else the camera's gt pose."""
         k = self._pose_idx.get(cam.id, -1)
@@ -195,7 +248,8 @@ class SLAMPipeline:
             pose = self.engine.cam_poses[k]
         else:
             pose = cam.c2w
-        maps = self.engine.run_raycast(pose, cam.K, cam.width, cam.height)
+        maps = self.engine.run_raycast(pose, cam.K, cam.width, cam.height,
+                                       quality=quality)
         res = dict(maps)
         if use_cam_depth:
             res["depth_map"] = jnp.asarray(cam.depth)
@@ -248,12 +302,18 @@ class SLAMPipeline:
             )
         normal = compute_normal_map(vertex)
         raycast_maps["normal_map"] = normal
-        model.pool, n_added = gmodel.add_gaussians(
+        model.pool, n_added, n_overflow = gmodel.add_gaussians(
             model.pool, vertex, gt, normal, mask,
             p.new_gs_sample_ratio, self.cfg.tpu.max_new_gaussians,
             self.cfg.model.default_opacities,
             (self.cfg.model.min_init_scale, self.cfg.model.max_init_scale),
             model.next_rng(),
+        )
+        # no-silent-caps accounting: device-side accumulation (a per-window
+        # sync fetch would cost ~30 ms RTT); fetched once in write_time_log
+        self._spawn_overflow = (
+            n_overflow if self._spawn_overflow is None
+            else self._spawn_overflow + n_overflow
         )
 
     # -------------------------------------------------------------- optimize
@@ -295,15 +355,21 @@ class SLAMPipeline:
         active_deg = min(
             self.curr_iter // max(m.sh_degree_interval, 1), m.sh_degree
         )
+        # cached count staleness: the cache was refreshed after the LAST
+        # window's prune, and this window's spawn (init_new_gaussians runs
+        # just before) adds at most max_new rows — so max_new of margin is
+        # exact, not conservative (the round-3 profile showed the old
+        # 2*max_new margin pushing the whole optimizer into a 2x bucket)
         model.pool, aux = gmodel.window_optimize(
             model.pool, batch, iter_idx, model.statics,
             gmodel.tx_cfg_tuple(m), p.max_iterations, p.ssim_weight,
             p.depth_weight,
-            model.opt_cap(extra=2 * self.cfg.tpu.max_new_gaussians,
+            model.opt_cap(extra=self.cfg.tpu.max_new_gaussians,
                           cached=True),
             jnp.asarray(active_deg, jnp.int32),
         )
         self.curr_iter += p.local_opt_iters
+        self._last_loss_hist = aux["loss_hist"]
         if self._tb is not None and p.log_slam_state:
             hist = np.asarray(aux["loss_hist"])
             for k, v in enumerate(hist):
@@ -336,6 +402,11 @@ class SLAMPipeline:
     def remove_redundant(self, model: GaussianModel) -> None:
         """(removeRedundantGs :564-586)."""
         if model.num_gaussians_cached == 0:
+            # still refresh: the cache must bootstrap off 0 after the first
+            # window's spawn, or this early-return becomes permanent (the
+            # empty-pool skip itself matches the reference, which never
+            # prunes an empty model)
+            model.refresh_count_async()
             return
         p = self.pipe
         model.pool, _ = gmodel.remove_redundant(
@@ -364,7 +435,7 @@ class SLAMPipeline:
         for cam in cams:
             fid = cam.get_frame_id()
             fname = f"frame{fid}_iter{self.curr_iter}"
-            ray = self.run_raycast_by_cam(cam, False)
+            ray = self.run_raycast_by_cam(cam, False, quality=True)
             rc_color = np.asarray(ray["color_map"])
             rc_depth = np.asarray(ray["depth_map"])
             vis.imwrite_rgb(

@@ -30,10 +30,10 @@ which reads the 6x6 system back every iteration).
 Deviation: the reference gates tracking quality with a hand-trained SVM
 over Hessian/residual features (ITMExtendedTracker.cpp:398-468); we use
 inlier-fraction + residual thresholds for the GOOD/POOR/FAILED decision,
-which feeds the same behaviourOnFailure policy surface.  Iteration caps
-are tuned down at the finest level (random-access map gathers are the
-TPU bottleneck); the trajectory-level gate lives in
-tests/test_tracking.py.
+which feeds the same behaviourOnFailure policy surface.  Iteration
+budgets default to the reference's numiterC=20/numiterF=50 interpolation;
+the trajectory-level gates (easy orbit + noisy texture-poor stress) live
+in tests/test_tracking.py.
 """
 
 from __future__ import annotations
@@ -48,11 +48,27 @@ from ..config import Config
 from ..utils.precision import mm
 from ..utils.se3 import se3_exp
 
-# per-level GN iteration caps, index = pyramid level (0 = finest).
-# numiterC=20 (coarsest) -> numiterF interpolation, capped at the finest
-# levels where a full-image gather per iteration dominates; the
-# while_loop early-exit makes the cap a bound, not a cost.
-LEVEL_ITERS = (8, 12, 16, 20)
+# reference per-level budgets (trackerConfig numiterC=20 / numiterF=50,
+# ITMLibSettings.cpp:54-57, interpolated coarsest->finest by SetupLevels,
+# ITMExtendedTracker.cpp:143-156).  Index = pyramid level (0 = finest).
+# The while_loop convergence early-exit (minstep equivalent) makes the
+# finest-level cap a bound, not a cost.  Overridable via the optional
+# PIPE.TSDF.tracker YAML block (numiterC / numiterF).
+NUMITER_C, NUMITER_F = 20, 50
+
+
+def level_iters(numiter_c: int = NUMITER_C, numiter_f: int = NUMITER_F,
+                n_levels: int = 4) -> tuple:
+    """SetupLevels interpolation (ITMExtendedTracker.cpp:147-156):
+    coarsest = numiterC, finest = numiterF.  Returns finest-first."""
+    step = (numiter_c - numiter_f) / max(n_levels - 1, 1)
+    return tuple(
+        int(round(numiter_c - step * (n_levels - 1 - lvl)))
+        for lvl in range(n_levels)
+    )
+
+
+LEVEL_ITERS = level_iters()               # (50, 40, 30, 20) finest-first
 SPACE_THRESH = (0.015, 0.03, 0.06, 0.1)   # hard outlier distance per level
 TUKEY_C = (0.02, 0.03, 0.05, 0.08)        # robust scale per level (m)
 # 'rrbb' level types, coarsest->finest in the reference string ==
@@ -132,7 +148,7 @@ def _track_level(
     has_depth = depth.reshape(-1) > 0
 
     def gn_iter(state):
-        T, _, _, it, _ = state
+        (T, T_acc, H_acc, g_acc, err_acc, lam, _, _, it, _) = state
         # current points -> world
         p_w = mm(pts_cam.reshape(-1, 3), T[:3, :3].T) + T[:3, 3]
         # project into the reference (raycast) camera to associate
@@ -174,28 +190,50 @@ def _track_level(
         Hm = mm(Jw.T, Jt)                       # [6, 6]
         g = jnp.sum(Jw * r[:, None], axis=0)    # [6]
         n_ok = jnp.sum(ok.astype(jnp.float32))
-        # LM damping: diagonal-relative + an absolute floor scaled to the
-        # mean diagonal — views of parallel walls make H exactly rank
-        # deficient (zero normal component along the wall plane), and a
-        # purely diagonal damp adds nothing along that null direction
-        mean_diag = jnp.trace(Hm) / 6.0 + 1e-6
-        damp = 1e-3 * jnp.diag(jnp.diagonal(Hm)) + 1e-2 * mean_diag * jnp.eye(6)
-        delta = jnp.linalg.solve(Hm + damp, -g)
-        ok_solve = jnp.all(jnp.isfinite(delta)) & (n_ok > 50)
-        delta = jnp.where(ok_solve, delta, 0.0)
-        T_new = mm(se3_exp(delta), T)
         mean_r = jnp.sum(jnp.abs(r) * wgt) / jnp.maximum(jnp.sum(wgt), 1.0)
         inlier = n_ok / (h * w)
+
+        # Levenberg-Marquardt error control (ITMExtendedTracker.cpp
+        # TrackCamera accept/reject): a step that RAISED the robust error
+        # is rolled back and re-solved from the accepted system with 10x
+        # damping; an improving step is kept and damping relaxes.  Without
+        # this, plain GN with fixed damping oscillates once the per-level
+        # budget exceeds ~10 iterations (reference budgets go to 50) —
+        # measured 13.6 -> 48.7 cm ATE on the CI orbit.
+        err = jnp.where(n_ok > 50, mean_r, jnp.inf)
+        better = (err <= err_acc) | (it == 0)
+        T_ref = jnp.where(better, T, T_acc)
+        H_ref = jnp.where(better, Hm, H_acc)
+        g_ref = jnp.where(better, g, g_acc)
+        err_ref = jnp.where(better, err, err_acc)
+        lam_new = jnp.clip(
+            jnp.where(better, lam * 0.1, lam * 10.0), 1e-6, 1e5)
+        # damping: lambda-scaled diagonal + an absolute floor scaled to
+        # the mean diagonal — views of parallel walls make H exactly rank
+        # deficient (zero normal component along the wall plane), and a
+        # purely diagonal damp adds nothing along that null direction
+        mean_diag = jnp.trace(H_ref) / 6.0 + 1e-6
+        damp = (lam_new * jnp.diag(jnp.diagonal(H_ref))
+                + 1e-2 * mean_diag * jnp.eye(6))
+        delta = jnp.linalg.solve(H_ref + damp, -g_ref)
+        ok_solve = jnp.all(jnp.isfinite(delta)) & jnp.isfinite(err_ref)
+        delta = jnp.where(ok_solve, delta, 0.0)
+        T_new = mm(se3_exp(delta), T_ref)
         step = jnp.sum(delta * delta)
-        return T_new, inlier, mean_r, it + 1, step
+        return (T_new, T_ref, H_ref, g_ref, err_ref, lam_new,
+                inlier, mean_r, it + 1, step)
 
     def cond(state):
-        _, _, _, it, step = state
+        it, step = state[8], state[9]
         return (it < n_iters) & (step > CONVERGED_STEP ** 2)
 
-    state = (T0, jnp.zeros(()), jnp.zeros(()), jnp.zeros((), jnp.int32),
-             jnp.ones(()))
-    T, inl, mr, it, _ = jax.lax.while_loop(cond, gn_iter, state)
+    state = (T0, T0, jnp.eye(6), jnp.zeros((6,)), jnp.asarray(jnp.inf),
+             jnp.asarray(1e-3), jnp.zeros(()), jnp.zeros(()),
+             jnp.zeros((), jnp.int32), jnp.ones(()))
+    out = jax.lax.while_loop(cond, gn_iter, state)
+    # return the last ACCEPTED estimate (the trailing trial step is
+    # unevaluated; under rejection it would be the diverging pose)
+    T, inl, mr, it = out[1], out[6], out[7], out[8]
     return T, inl, mr, it
 
 
@@ -208,6 +246,18 @@ class ICPTracker:
         self.cfg = cfg
         self.width, self.height = width, height
         self.n_levels = n_levels
+        # optional YAML block PIPE.TSDF.tracker — per-level budget parity
+        # with the reference trackerConfig string (ITMLibSettings.cpp:54-57)
+        tnode = (cfg.raw.get("PIPE", {}).get("TSDF", {}) or {}).get("tracker", {}) or {}
+        self.level_iters = level_iters(
+            int(tnode.get("numiterC", NUMITER_C)),
+            int(tnode.get("numiterF", NUMITER_F)),
+            n_levels,
+        )
+        self.space_thresh = tuple(
+            tnode.get("space_thresh", SPACE_THRESH)
+        )
+        self.tukey_c = tuple(tnode.get("tukey_c", TUKEY_C))
 
     def track(self, last_pose: np.ndarray, depth: np.ndarray,
               raycast_maps: dict | None, K: np.ndarray):
@@ -232,14 +282,14 @@ class ICPTracker:
                 [fx0 / s, fy0 / s, (cx0 + 0.5) / s - 0.5, (cy0 + 0.5) / s - 0.5,
                  fx0, fy0, cx0, cy0], jnp.float32
             )
-            li = min(lvl, len(LEVEL_ITERS) - 1)
+            li = min(lvl, len(self.level_iters) - 1)
             T, inl, mr, _ = _track_level(
                 T, pyramid[lvl], ref_v, ref_n, cam,
-                LEVEL_ITERS[li],
+                self.level_iters[li],
                 lvl >= ROTATION_ONLY_FROM_LEVEL,
                 ref_pose_inv=ref_pose_inv,
-                space_thresh=jnp.asarray(SPACE_THRESH[li]),
-                tukey_c=jnp.asarray(TUKEY_C[li]),
+                space_thresh=jnp.asarray(self.space_thresh[li]),
+                tukey_c=jnp.asarray(self.tukey_c[li]),
             )
             inlier, mean_r = float(inl), float(mr)
         self.last_inlier, self.last_residual = inlier, mean_r

@@ -54,7 +54,32 @@ class TsdfEngine:
             raycast_samples=tpu.raycast_samples,
             raycast_bisect=tpu.raycast_bisect,
         )
-        self.vol: TsdfVolume = create(self.params)
+        # spatial sharding (SURVEY §2.4 second multi-chip axis): with
+        # TPU.space_shards = S > 1 the voxel pools split S-ways by key-hash
+        # ownership (parallel/spatial.py) — per-shard capacities divide by
+        # S, fusion needs no collectives, raycast merges by nearest hit.
+        # Leaves are placed over a ("space",) mesh when S devices exist;
+        # on fewer devices the stacked [S, ...] form still runs (vmap).
+        self.space_shards = int(tpu.space_shards)
+        if self.space_shards > 1:
+            assert not tpu.enable_swapping, (
+                "enable_swapping and space_shards are mutually exclusive")
+            S = self.space_shards
+            self.params = self.params.replace(
+                hash_size=max(self.params.hash_size // S, 1 << 12),
+                block_capacity=max(self.params.block_capacity // S, 1 << 9),
+            )
+            from ..parallel import spatial
+
+            self.vol = spatial.create_sharded(self.params, S)
+            devs = jax.devices()
+            if len(devs) >= S:
+                from jax.sharding import Mesh
+
+                mesh = Mesh(np.asarray(devs[:S]), ("space",))
+                self.vol = spatial.shard_volume(self.vol, mesh)
+        else:
+            self.vol: TsdfVolume = create(self.params)
         self.width, self.height = int(width), int(height)
         self.K = np.asarray(K, dtype=np.float32)
         self.use_gt_pose = bool(t.use_gt_pose)
@@ -88,6 +113,17 @@ class TsdfEngine:
 
             self.relocalizer = FernRelocalizer()
         self._tracking_quality = 2
+        # host-swapping analog (Engines/Swapping; default-off like the
+        # reference, ITMLibSettings.cpp:33) — gated by TPU.enable_swapping
+        self.swap = None
+        self.swap_check_interval = int(tpu.swap_check_interval)
+        if tpu.enable_swapping:
+            from .swapping import HostSwapEngine
+
+            self.swap = HostSwapEngine(
+                high_water=tpu.swap_high_water,
+                low_water=tpu.swap_low_water,
+            )
 
     # -- configuration -------------------------------------------------------
 
@@ -102,6 +138,23 @@ class TsdfEngine:
         self.tracking_active = not self.use_gt_pose
 
     # -- per-frame processing -------------------------------------------------
+
+    # visible-scan prefix buckets: smallest power-of-two bucket covering
+    # the cached block cursor (+ margin for one frame of staleness); keeps
+    # the per-frame visible pass O(allocated), not O(capacity)
+    _PREFIX_MARGIN = 4096
+
+    def _pool_prefix(self) -> int:
+        B = self.params.block_capacity
+        fut = getattr(self, "_nb_future", None)
+        if fut is not None:
+            self._nb_cache = int(fut)
+            self._nb_future = None
+        n = getattr(self, "_nb_cache", 0) + self._PREFIX_MARGIN
+        b = 1 << 14
+        while b < n and b < B:
+            b <<= 1
+        return min(b, B)
 
     def process_frame(self, rgb, depth) -> np.ndarray:
         """Track (or inject gt pose) + fuse one RGB-D frame; returns the
@@ -157,10 +210,34 @@ class TsdfEngine:
             if d.ndim == 3:
                 d = d[..., 0]
             c = jnp.asarray(rgb)
-            self.vol = integrate.fuse_frame(
-                self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K),
-                False, self._use_pallas_raycast(),
-            )
+            if self.space_shards > 1:
+                from ..parallel import spatial
+
+                self.vol = spatial.fuse_frame_sharded(
+                    self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K),
+                    self.space_shards, False,
+                )
+            else:
+                self.vol = integrate.fuse_frame(
+                    self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K),
+                    False, self._use_pallas_raycast(),
+                    frame_idx=(jnp.asarray(i, jnp.int32)
+                               if self.swap is not None else None),
+                    pool_prefix=self._pool_prefix(),
+                )
+                # async cursor refresh consumed by next frame's
+                # _pool_prefix (a sync int() here costs ~30 ms RTT)
+                a = self.vol.n_blocks
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+                self._nb_future = a
+            if self.swap is not None and i % self.swap_check_interval == 0:
+                # cold path: spill cold blocks / merge re-seen ones back
+                # (sync fetches inside — only runs when swapping is on)
+                self.vol = self.swap.maybe_reload(self.vol)
+                self.vol = self.swap.maybe_spill(self.vol)
         self._last_pose = np.asarray(pose, dtype=np.float32)
         self.cam_poses.append(self._last_pose.copy())
         self.cam_intrinsics.append(self.K.copy())
@@ -175,21 +252,45 @@ class TsdfEngine:
     # -- raycast service -------------------------------------------------------
 
     def run_raycast(self, c2w: np.ndarray, K: np.ndarray | None = None,
-                    width: int | None = None, height: int | None = None) -> dict:
+                    width: int | None = None, height: int | None = None,
+                    quality: bool = False) -> dict:
         """Raycast from an arbitrary pose (the fork's runRaycast service,
         ITMBasicEngine.tpp:501; consumed by SLAMPipeline::runRaycastByCam,
-        slam_pipeline.cpp:362-415)."""
+        slam_pipeline.cpp:362-415).
+
+        `quality` selects the refine budget of the Mosaic march: the
+        per-frame window raycasts refine k_blocks=1 candidate per pixel
+        (costs ~0.4% of hits on the oracle scene, halves the kernel);
+        eval renders keep k=2."""
         K = jnp.asarray(self.K if K is None else K, dtype=jnp.float32)
         width = width or self.width
         height = height or self.height
         p = self.vol.params
+        if self.swap is not None:
+            # per-view swap-in (ITMSwappingEngine IntegrateGlobalIntoLocal
+            # analog): spilled blocks visible from this pose come back
+            # before the march, so arbitrary-view renders see no holes
+            self.vol = self.swap.reload_visible(
+                self.vol, np.asarray(c2w, np.float32), np.asarray(K),
+                width, height)
+        if self.space_shards > 1:
+            # per-shard XLA tile raycast + nearest-hit merge (the Mosaic
+            # march kernel does not vmap over the shard axis; the sharded
+            # path is about capacity, not single-camera latency)
+            from ..parallel import spatial
+
+            return spatial.raycast_sharded(
+                self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
+                width, height, p.raycast_lb, p.raycast_samples,
+                max(p.raycast_bisect, 8), p.raycast_chunk,
+            )
         if self._use_pallas_raycast():
             from . import raycast_pallas as rc_pallas
 
             return rc_pallas.raycast(
                 self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
                 width, height, p.raycast_lb, p.raycast_samples,
-                max(p.raycast_bisect, 8), 2, 8,
+                max(p.raycast_bisect, 8), 2 if quality else 1, 8,
             )
         return rc_tiles.raycast(
             self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
@@ -230,6 +331,7 @@ class TsdfEngine:
             mip=np.asarray(self.vol.mip),
             block_min_sdf=np.asarray(self.vol.block_min_sdf),
             block_max_w=np.asarray(self.vol.block_max_w),
+            last_seen=np.asarray(self.vol.last_seen),
             cam_poses=np.stack(self.cam_poses) if self.cam_poses else np.zeros((0, 4, 4)),
             cam_intrinsics=np.stack(self.cam_intrinsics)
             if self.cam_intrinsics
@@ -240,20 +342,31 @@ class TsdfEngine:
         """ITMBasicEngine::LoadFromFile equivalent (ITMBasicEngine.tpp:138-171):
         reset then load."""
         z = np.load(os.path.join(in_dir, "scene.npz"))
+        # back-compat: pre-int16 checkpoints stored f32 sdf / i16 weights /
+        # u8[...,3] colors
+        sdf_np = z["sdf"]
+        if sdf_np.dtype != np.int16:
+            sdf_np = np.round(np.clip(sdf_np, -1, 1) * 32767.0).astype(np.int16)
+        col_np = z["color"]
+        if col_np.ndim == 3:
+            c = col_np.astype(np.uint32)
+            col_np = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
         self.vol = self.vol.replace(
             table_keys=jnp.asarray(z["table_keys"]),
             table_ptrs=jnp.asarray(z["table_ptrs"]),
             block_coords=jnp.asarray(z["block_coords"]),
-            sdf=jnp.asarray(z["sdf"]),
-            w_depth=jnp.asarray(z["w_depth"]),
-            color=jnp.asarray(z["color"]),
-            w_color=jnp.asarray(z["w_color"]),
+            sdf=jnp.asarray(sdf_np),
+            w_depth=jnp.asarray(z["w_depth"].astype(np.uint8)),
+            color=jnp.asarray(col_np),
+            w_color=jnp.asarray(z["w_color"].astype(np.uint8)),
             n_blocks=jnp.asarray(z["n_blocks"]),
             mip=jnp.asarray(z["mip"]) if "mip" in z else self.vol.mip,
             block_min_sdf=jnp.asarray(z["block_min_sdf"])
             if "block_min_sdf" in z else self.vol.block_min_sdf,
             block_max_w=jnp.asarray(z["block_max_w"])
             if "block_max_w" in z else self.vol.block_max_w,
+            last_seen=jnp.asarray(z["last_seen"])
+            if "last_seen" in z else self.vol.last_seen,
         )
         self.cam_poses = [p.astype(np.float32) for p in z["cam_poses"]]
         self.cam_intrinsics = [k.astype(np.float32) for k in z["cam_intrinsics"]]
@@ -261,11 +374,24 @@ class TsdfEngine:
 
     def save_mesh(self, path: str) -> None:
         """Marching-tetrahedra surface -> colored PLY
-        (ITMBasicEngine::SaveSceneToMesh, ITMBasicEngine.tpp:105-117)."""
+        (ITMBasicEngine::SaveSceneToMesh, ITMBasicEngine.tpp:105-117).
+        Sharded volumes mesh per shard and concatenate (blocks are
+        disjoint by ownership; cells whose neighbor block lives in
+        another shard are skipped by the require_weight guard — a
+        sub-voxel seam, not duplicated surface)."""
         from ..utils import io as uio
         from .meshing import extract_mesh
 
-        verts, cols = extract_mesh(self.vol)
+        if self.space_shards > 1:
+            parts = []
+            for s in range(self.space_shards):
+                shard = jax.tree.map(
+                    lambda x: x[s] if hasattr(x, "shape") else x, self.vol)
+                parts.append(extract_mesh(shard))
+            verts = np.concatenate([v for v, _ in parts], 0)
+            cols = np.concatenate([c for _, c in parts], 0)
+        else:
+            verts, cols = extract_mesh(self.vol)
         uio.save_mesh_ply(path, verts, cols)
 
     @property

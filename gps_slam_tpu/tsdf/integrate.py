@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..utils.precision import mm
 from . import hash as vhash
-from .volume import BLOCK, BLOCK_VOL, TsdfVolume
+from .volume import BLOCK, BLOCK_VOL, TsdfVolume, sdf_to_f32, sdf_to_i16
 
 
 def _pack_rgb(rgb: jax.Array) -> jax.Array:
@@ -70,44 +70,63 @@ def alloc_candidates(
     5 mm voxels, so stride-2 candidates still name every surface block
     (a sub-pixel sliver missed in one frame re-candidates the next) while
     the downstream dedup sort shrinks 4x.  All math is scalar [h, w]
-    planes — no [., ., 3]-stacked arrays (3-lane layouts waste the VPU)."""
-    z = depth[::stride, ::stride]
-    Hh, Ww = z.shape
+    planes — no [., ., 3]-stacked arrays (3-lane layouts waste the VPU).
+
+    The subsample is a reshape + reduce, NOT a strided slice: XLA lowers
+    `depth[::2, ::2]` of a T(8,128)-tiled image as a 204k-element
+    scalar-core gather (~3.9 ms/frame, round-3 xplane trace).  Each quad
+    contributes TWO band marches — at its max and (valid-)min depth — so
+    depth discontinuities allocate both the near and far surface (a
+    max-only pool was measured to bias the fused geometry at edges hard
+    enough to move tracked ATE 13.6 -> 20.9 cm on the CI orbit); uniform
+    quads emit identical streams the dedup sort removes."""
+    H, W = depth.shape
+    Hs, Ws = (H // stride) * stride, (W // stride) * stride
+    quads = depth[:Hs, :Ws].reshape(Hs // stride, stride, Ws // stride, stride)
+    z_max = jnp.max(quads, axis=(1, 3))
+    z_min = jnp.min(jnp.where(quads > 0, quads, jnp.inf), axis=(1, 3))
+    z_min = jnp.where(jnp.isfinite(z_min), z_min, 0.0)
+    Hh, Ww = z_max.shape
     one_over_block = 1.0 / (voxel_size * BLOCK)
     i = (jnp.arange(Ww, dtype=jnp.float32) * stride)[None, :]
     j = (jnp.arange(Hh, dtype=jnp.float32) * stride)[:, None]
-    valid = (
-        (z > 0)
-        & ((z - mu) >= frustum_min)
-        & ((z + mu) <= frustum_max)
-    )
-    x = z * (i - cx) / fx
-    y = z * (j - cy) / fy
-    norm = jnp.sqrt(x * x + y * y + z * z)
-    norm = jnp.maximum(norm, 1e-6)
-    s0 = 1.0 - mu / norm
-    s1 = 1.0 + mu / norm
     R, t = c2w[:3, :3], c2w[:3, 3]
-    # world-space ray through the band, per axis ([h, w] planes)
-    wx = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z
-    wy = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z
-    wz = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z
-    sx0 = (wx * s0 + t[0]) * one_over_block
-    sy0 = (wy * s0 + t[1]) * one_over_block
-    sz0 = (wz * s0 + t[2]) * one_over_block
-    dx = (wx * s1 + t[0]) * one_over_block - sx0
-    dy = (wy * s1 + t[1]) * one_over_block - sy0
-    dz = (wz * s1 + t[2]) * one_over_block - sz0
     inv = 1.0 / max(n_steps - 1, 1)
-    keys = []
-    for s in range(n_steps):
-        f = s * inv
-        bx = jnp.floor(sx0 + f * dx).astype(jnp.int32)
-        by = jnp.floor(sy0 + f * dy).astype(jnp.int32)
-        bz = jnp.floor(sz0 + f * dz).astype(jnp.int32)
-        in_range = vhash.coords_in_range(bx, by, bz)
-        k = vhash.pack(bx, by, bz)
-        keys.append(jnp.where(valid & in_range, k, vhash.EMPTY))
+
+    def band_keys(z):
+        valid = (
+            (z > 0)
+            & ((z - mu) >= frustum_min)
+            & ((z + mu) <= frustum_max)
+        )
+        x = z * (i - cx) / fx
+        y = z * (j - cy) / fy
+        norm = jnp.sqrt(x * x + y * y + z * z)
+        norm = jnp.maximum(norm, 1e-6)
+        s0 = 1.0 - mu / norm
+        s1 = 1.0 + mu / norm
+        # world-space ray through the band, per axis ([h, w] planes)
+        wx = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z
+        wy = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z
+        wz = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z
+        sx0 = (wx * s0 + t[0]) * one_over_block
+        sy0 = (wy * s0 + t[1]) * one_over_block
+        sz0 = (wz * s0 + t[2]) * one_over_block
+        dx = (wx * s1 + t[0]) * one_over_block - sx0
+        dy = (wy * s1 + t[1]) * one_over_block - sy0
+        dz = (wz * s1 + t[2]) * one_over_block - sz0
+        keys = []
+        for s in range(n_steps):
+            f = s * inv
+            bx = jnp.floor(sx0 + f * dx).astype(jnp.int32)
+            by = jnp.floor(sy0 + f * dy).astype(jnp.int32)
+            bz = jnp.floor(sz0 + f * dz).astype(jnp.int32)
+            in_range = vhash.coords_in_range(bx, by, bz)
+            k = vhash.pack(bx, by, bz)
+            keys.append(jnp.where(valid & in_range, k, vhash.EMPTY))
+        return keys
+
+    keys = band_keys(z_max) + band_keys(z_min)
     return jnp.stack(keys, axis=-1).reshape(-1)
 
 
@@ -118,6 +137,7 @@ def visible_blocks(
     width: int,
     height: int,
     depth: jax.Array | None = None,
+    prefix: int | None = None,
 ) -> jax.Array:
     """Indices of allocated blocks visible in the camera, padded with -1 to
     `visible_capacity` (ITMSceneReconstructionEngine_CUDA buildVisibleList /
@@ -127,11 +147,18 @@ def visible_blocks(
     With `depth` given and band_only_integration set, blocks far from the
     measured surface band at their image tile are dropped: integrating
     them only performs free-space carving, a no-op for static scenes.  The
-    test uses 32x32-pixel min/max depth pools."""
+    test uses 32x32-pixel min/max depth pools.
+
+    `prefix` bounds the scan to the allocated-prefix bucket (the pool
+    allocator is a cursor, so rows >= n_blocks are never allocated) —
+    callers pass a cached-count bucket so per-frame cost tracks scene
+    size, not capacity.  A stale-low prefix only delays brand-new blocks'
+    first integration by one frame (they re-enter via next frame's
+    candidates)."""
     p = vol.params
-    B = p.block_capacity
+    B = prefix if prefix is not None else p.block_capacity
     allocated = jnp.arange(B, dtype=jnp.int32) < vol.n_blocks
-    bxi, byi, bzi = vhash.unpack(vol.block_coords)
+    bxi, byi, bzi = vhash.unpack(vol.block_coords[:B])
     ext = p.voxel_size * BLOCK
     cxw = bxi.astype(jnp.float32) * ext   # [B] world min corner per axis
     cyw = byi.astype(jnp.float32) * ext
@@ -303,7 +330,7 @@ def _block_voxel_positions(block_keys: jax.Array, voxel_size: float) -> jax.Arra
     return (base[:, None, :] + local[None, :, :]) * voxel_size
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 8))
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 8, 10))
 def fuse_frame(
     vol: TsdfVolume,
     depth: jax.Array,   # [H, W] metres
@@ -314,6 +341,8 @@ def fuse_frame(
     use_pallas: bool = False,
     shard_sid: jax.Array | None = None,  # this device's space-shard id
     shard_n: int = 1,                    # number of space shards
+    frame_idx: jax.Array | None = None,  # LRU stamp for the swap engine
+    pool_prefix: int | None = None,      # allocated-prefix bucket (visible scan)
 ) -> TsdfVolume:
     """One frame of allocation + integration (DenseMapper::ProcessFrame,
     ITMDenseMapper.tpp:33-60).  Donates the volume for in-place update."""
@@ -331,8 +360,13 @@ def fuse_frame(
         # spatial sharding (parallel/spatial.py): this device owns only
         # the blocks whose key-hash lands on its shard — candidate streams
         # are identical across devices, ownership masking needs no
-        # communication
-        owner = vhash.hash_packed(cand, 1 << 30) % shard_n
+        # communication.  Ownership comes from hash bits ABOVE the table
+        # index (>> 21, clear of the default 2^21 table's index bits): low
+        # bits would make every key owned by shard s hash to a home slot
+        # ≡ s (mod S), leaving only H/S reachable home slots per shard
+        # table and saturating the bounded probing ~S× earlier than the
+        # single-volume table.
+        owner = (vhash.hash_packed(cand, 1 << 30) >> 21) % shard_n
         cand = jnp.where(
             (owner == shard_sid) & (cand != vhash.EMPTY), cand, vhash.EMPTY)
     cand = vhash.dedup_candidates(cand, p.alloc_candidate_cap)
@@ -349,7 +383,8 @@ def fuse_frame(
         [jnp.concatenate([w2c_R, w2c_t[:, None]], axis=1),
          jnp.array([[0.0, 0.0, 0.0, 1.0]])], axis=0
     )
-    vis = visible_blocks(vol, w2c, fx, fy, cx, cy, width, height, depth=depth)
+    vis = visible_blocks(vol, w2c, fx, fy, cx, cy, width, height, depth=depth,
+                         prefix=pool_prefix)
     vis_valid = vis >= 0
     vis_safe = jnp.where(vis_valid, vis, 0)
 
@@ -359,25 +394,27 @@ def fuse_frame(
     keys = vol.block_coords[vis_safe]
     rgb_packed = _pack_rgb(rgb)
 
+    # the window kernels anchor a 2x2 tile neighborhood at clip(.., dim-2):
+    # frames narrower/shorter than two tiles would gather wrong tiles
+    if width < 2 * PT or height < 2 * PT:
+        use_pallas = False
+        bilinear_color = True  # _window_sample has the same 2-tile minimum
+
     if use_pallas:
         from . import integrate_pallas as ipk
 
-        old_cp = vol.color[vis_safe]
-        old_color_packed = (
-            old_cp[..., 0].astype(jnp.uint32)
-            | (old_cp[..., 1].astype(jnp.uint32) << 8)
-            | (old_cp[..., 2].astype(jnp.uint32) << 16)
-        )
+        old_color_packed = vol.color[vis_safe]  # pool is u32-packed already
         new_f, new_w, new_c, new_wc = ipk.integrate_blocks(
             depth, rgb_packed, keys, vis_valid,
-            vol.sdf[vis_safe],
+            sdf_to_f32(vol.sdf[vis_safe]),
             vol.w_depth[vis_safe].astype(jnp.float32),
             old_color_packed,
             vol.w_color[vis_safe].astype(jnp.float32),
             w2c, fx, fy, cx, cy, width, height,
             p.voxel_size, p.mu, p.max_w,
         )
-        return _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc)
+        return _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
+                            frame_idx)
 
     pos_w = _block_voxel_positions(keys, p.voxel_size)       # [V, 512, 3]
     pc = mm(pos_w, w2c_R.T) + w2c_t                          # camera space
@@ -400,7 +437,7 @@ def fuse_frame(
     eta = d_meas - z
     update = in_img & in_win & has_depth & (eta >= -p.mu) & vis_valid[:, None]
 
-    old_f = vol.sdf[vis_safe]                                # [V, 512]
+    old_f = sdf_to_f32(vol.sdf[vis_safe])                    # [V, 512]
     old_w = vol.w_depth[vis_safe].astype(jnp.float32)
     new_f_obs = jnp.minimum(1.0, eta / p.mu)
     num = old_w * old_f + new_f_obs
@@ -432,7 +469,7 @@ def fuse_frame(
         )  # [V, 512, 3] in [0,1]
     else:
         c_meas = c_win
-    old_c = vol.color[vis_safe].astype(jnp.float32) / 255.0
+    old_c = _unpack_rgb(vol.color[vis_safe])
     old_wc = vol.w_color[vis_safe].astype(jnp.float32)
     new_c = jnp.where(
         color_update[..., None],
@@ -443,10 +480,12 @@ def fuse_frame(
         color_update, jnp.minimum(old_wc + 1.0, float(p.max_w)), old_wc
     )
 
-    return _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc)
+    return _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
+                        frame_idx)
 
 
-def _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc):
+def _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
+                 frame_idx=None):
     """Per-block raycaster summaries + deterministic scatter-back."""
     p = vol.params
     # 2x2x2 mean-pooled sdf mip (lin64 = mx + 4*my + 16*mz), min
@@ -460,14 +499,19 @@ def _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc):
     # scatter back (unique indices -> deterministic)
     scatter_idx = jnp.where(vis_valid, vis, p.block_capacity)
     vol = vol.replace(
-        sdf=vol.sdf.at[scatter_idx].set(new_f, mode="drop"),
-        w_depth=vol.w_depth.at[scatter_idx].set(new_w.astype(jnp.int16), mode="drop"),
-        color=vol.color.at[scatter_idx].set(
-            jnp.clip(new_c * 255.0 + 0.5, 0, 255).astype(jnp.uint8), mode="drop"
-        ),
-        w_color=vol.w_color.at[scatter_idx].set(new_wc.astype(jnp.int16), mode="drop"),
+        sdf=vol.sdf.at[scatter_idx].set(sdf_to_i16(new_f), mode="drop"),
+        w_depth=vol.w_depth.at[scatter_idx].set(new_w.astype(jnp.uint8), mode="drop"),
+        color=vol.color.at[scatter_idx].set(_pack_rgb(new_c), mode="drop"),
+        w_color=vol.w_color.at[scatter_idx].set(new_wc.astype(jnp.uint8), mode="drop"),
         mip=vol.mip.at[scatter_idx].set(mip, mode="drop"),
         block_min_sdf=vol.block_min_sdf.at[scatter_idx].set(min_sdf, mode="drop"),
         block_max_w=vol.block_max_w.at[scatter_idx].set(max_w, mode="drop"),
     )
+    if frame_idx is not None:
+        vol = vol.replace(
+            last_seen=vol.last_seen.at[scatter_idx].set(
+                jnp.broadcast_to(frame_idx, scatter_idx.shape).astype(jnp.int32),
+                mode="drop",
+            )
+        )
     return vol

@@ -170,11 +170,14 @@ def extract_mesh(vol: TsdfVolume, chunk_blocks: int = 2048,
         res = extract_mesh_native(vol, require_weight)
         if res is not None:
             return res
+    from .volume import unpack_color_np
+
     vol_np = {
         "block_coords": np.asarray(vol.block_coords),
-        "sdf": np.asarray(vol.sdf),
+        # dequantize the i16 pool once on host (SDF_SCALE, volume.py)
+        "sdf": np.asarray(vol.sdf).astype(np.float32) / 32767.0,
         "w_depth": np.asarray(vol.w_depth).astype(np.int32),
-        "color": np.asarray(vol.color),
+        "color": unpack_color_np(vol.color),
     }
     hh = _HostHash(
         np.asarray(vol.table_keys), np.asarray(vol.table_ptrs), vol.params.max_probes

@@ -68,9 +68,12 @@ def extract_mesh_native(vol, require_weight: bool = True,
     tk = np.ascontiguousarray(np.asarray(vol.table_keys), np.uint32)
     tp = np.ascontiguousarray(np.asarray(vol.table_ptrs), np.int32)
     bc = np.ascontiguousarray(np.asarray(vol.block_coords), np.uint32)
-    sdf = np.ascontiguousarray(np.asarray(vol.sdf), np.float32)
+    sdf = np.ascontiguousarray(
+        np.asarray(vol.sdf).astype(np.float32) / 32767.0, np.float32)
     w = np.ascontiguousarray(np.asarray(vol.w_depth), np.int16)
-    col = np.ascontiguousarray(np.asarray(vol.color), np.uint8)
+    from .volume import unpack_color_np
+
+    col = np.ascontiguousarray(unpack_color_np(vol.color), np.uint8)
     n_blocks = int(vol.n_blocks)
     out_v = np.empty((max_verts, 3), np.float32)
     out_c = np.empty((max_verts, 3), np.float32)

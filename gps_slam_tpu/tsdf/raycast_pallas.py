@@ -325,14 +325,19 @@ def raycast(
         vis_cap=p.visible_capacity, lb=lb, span_cap=6,
     )
 
-    # payload row gathers (contiguous rows; bf16 once, here)
-    sdf_rows = vol.sdf[gids].astype(jnp.bfloat16)              # [T, LB, 512]
+    # payload row gathers (contiguous rows; i16 HBM traffic, bf16 once
+    # here — the 1/SDF_SCALE dequant fuses into the gather consumer)
+    from .volume import INV_SDF_SCALE
+
+    sdf_rows = (vol.sdf[gids].astype(jnp.float32)
+                * INV_SDF_SCALE).astype(jnp.bfloat16)          # [T, LB, 512]
     mip_rows = vol.mip[gids].astype(jnp.bfloat16)              # [T, LB, 64]
     w_rows = vol.w_depth[gids].astype(jnp.bfloat16)            # [T, LB, 512]
-    col_rows = (
-        vol.color[gids].astype(jnp.bfloat16)
-        .transpose(0, 1, 3, 2).reshape(T, lb, 3 * 512)
-    )                                                          # channel-major
+    cp = vol.color[gids]                                       # [T, LB, 512] u32
+    col_rows = jnp.concatenate(
+        [((cp >> (8 * ch)) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16)
+         for ch in range(3)], axis=-1,
+    )                                                          # channel-major [T, LB, 1536]
     bx, by, bz = vhash.unpack(vol.block_coords[gids])
     borg = jnp.stack([bx, by, bz], -1).astype(jnp.float32) * (
         p.voxel_size * BLOCK) - t[None, None, :]               # camera-relative

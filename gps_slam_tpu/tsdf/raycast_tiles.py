@@ -197,10 +197,16 @@ def raycast(
     )
 
     # row-gathered tile payloads (cast to bf16 once, outside the scan)
-    sdf_rows = vol.sdf[gids].astype(jnp.bfloat16)      # [T, LB, 512]
+    from .volume import INV_SDF_SCALE
+
+    sdf_rows = (vol.sdf[gids].astype(jnp.float32)
+                * INV_SDF_SCALE).astype(jnp.bfloat16)  # [T, LB, 512]
     mip_rows = vol.mip[gids].astype(jnp.bfloat16)      # [T, LB, 64]
     w_rows = vol.w_depth[gids].astype(jnp.bfloat16)    # [T, LB, 512]
-    c_rows = vol.color[gids].astype(jnp.bfloat16)      # [T, LB, 512, 3]
+    cp = vol.color[gids]                               # [T, LB, 512] u32 packed
+    c_rows = jnp.stack(
+        [(cp & 0xFF), (cp >> 8) & 0xFF, (cp >> 16) & 0xFF], axis=-1
+    ).astype(jnp.int32).astype(jnp.bfloat16)           # [T, LB, 512, 3]
     bx, by, bz = vhash.unpack(vol.block_coords[gids])
     block_org = jnp.stack([bx, by, bz], -1).astype(jnp.float32) * (
         p.voxel_size * BLOCK

@@ -4,8 +4,11 @@ ITMScene<ITMVoxel_s_rgb, ITMVoxelBlockHash>.
 Fixed-capacity struct-of-arrays pools (ITMLocalVBA + hash,
 Objects/Scene/ITMLocalVBA.h:14-35, ITMVoxelBlockHash.h:15-31):
 voxel blocks are 8^3, allocated once, never freed.  Voxel fields mirror
-ITMVoxel_s_rgb (Objects/Scene/ITMVoxelTypes.h:41-69): sdf (f32 here,
-int16 in the reference), integration weight, rgb color and color weight.
+ITMVoxel_s_rgb (Objects/Scene/ITMVoxelTypes.h:41-69) at the same widths:
+sdf int16 (value = sdf * 32767, SDF_SCALE below — quantization is 0.6 um
+at mu = 2 cm), integration weight uint8 (maxW = 100), rgb uint8[3] and
+color weight uint8.  The narrow pool halves fusion/raycast HBM traffic
+end-to-end; all arithmetic converts to f32 at gather time.
 
 Voxel linear index inside a block is x + 8*y + 64*z, matching InfiniTAM's
 locId so dumps are comparable.
@@ -23,6 +26,29 @@ from . import hash as vhash
 
 BLOCK = 8
 BLOCK_VOL = BLOCK ** 3
+# int16 sdf quantization (ITMVoxelTypes.h:41-69 valueToFloat/floatToValue)
+SDF_SCALE = 32767.0
+INV_SDF_SCALE = 1.0 / SDF_SCALE
+
+
+def sdf_to_f32(q: jax.Array) -> jax.Array:
+    """Quantized int16 sdf -> float in [-1, 1]."""
+    return q.astype(jnp.float32) * INV_SDF_SCALE
+
+
+def sdf_to_i16(f: jax.Array) -> jax.Array:
+    """Float sdf in [-1, 1] -> quantized int16 (round-to-nearest)."""
+    return jnp.round(jnp.clip(f, -1.0, 1.0) * SDF_SCALE).astype(jnp.int16)
+
+
+def unpack_color_np(packed) -> "np.ndarray":
+    """Host-side u32 rgb888 -> u8 [..., 3] (meshers / exports)."""
+    import numpy as np
+
+    p = np.asarray(packed)
+    return np.stack(
+        [(p & 0xFF), (p >> 8) & 0xFF, (p >> 16) & 0xFF], axis=-1
+    ).astype(np.uint8)
 
 
 @struct.dataclass
@@ -63,15 +89,23 @@ class TsdfVolume:
     table_keys: jax.Array    # uint32 [H] packed block coords (EMPTY = free)
     table_ptrs: jax.Array    # int32 [H] block-pool index or -1
     block_coords: jax.Array  # uint32 [B] reverse map: pool idx -> packed coords
-    sdf: jax.Array           # f32 [B, 512] normalized SDF in [-1, 1], init 1
-    w_depth: jax.Array       # i16 [B, 512]
-    color: jax.Array         # u8 [B, 512, 3]
-    w_color: jax.Array       # i16 [B, 512]
+    sdf: jax.Array           # i16 [B, 512] sdf * SDF_SCALE, init SDF_SCALE
+    w_depth: jax.Array       # u8 [B, 512]
+    # rgb888 packed into one u32 plane (r | g<<8 | b<<16): a [B, 512, 3]
+    # u8 layout costs two full-pool transpose copies per fused frame
+    # (XLA flips {1,0,2}<->{1,2,0} around the scatter, ~2 ms/frame) and a
+    # channel-major copy in every raycast payload; one u32 plane makes
+    # gather/scatter layout-native and unpacks with 3 shift-ands at use
+    color: jax.Array         # u32 [B, 512] packed rgb888
+    w_color: jax.Array       # u8 [B, 512]
     n_blocks: jax.Array      # i32 scalar
     # incremental per-block summaries for the tile raycaster
     mip: jax.Array           # f32 [B, 64] 2x2x2 mean-pooled sdf
     block_min_sdf: jax.Array # f32 [B] min sdf over integrated voxels (1 = none)
     block_max_w: jax.Array   # i32 [B] max integration weight
+    # LRU stamp for the host-swapping engine (frame index of the last
+    # fusion that saw the block visible; -1 = never)
+    last_seen: jax.Array     # i32 [B]
 
 
 def create(params: TsdfParams) -> TsdfVolume:
@@ -82,14 +116,15 @@ def create(params: TsdfParams) -> TsdfVolume:
         table_keys=jnp.full((H,), vhash.EMPTY, dtype=jnp.uint32),
         table_ptrs=jnp.full((H,), -1, dtype=jnp.int32),
         block_coords=jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32),
-        sdf=jnp.ones((B, BLOCK_VOL), dtype=jnp.float32),
-        w_depth=jnp.zeros((B, BLOCK_VOL), dtype=jnp.int16),
-        color=jnp.zeros((B, BLOCK_VOL, 3), dtype=jnp.uint8),
-        w_color=jnp.zeros((B, BLOCK_VOL), dtype=jnp.int16),
+        sdf=jnp.full((B, BLOCK_VOL), int(SDF_SCALE), dtype=jnp.int16),
+        w_depth=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint8),
+        color=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint32),
+        w_color=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint8),
         n_blocks=jnp.zeros((), dtype=jnp.int32),
         mip=jnp.ones((B, 64), dtype=jnp.float32),
         block_min_sdf=jnp.ones((B,), dtype=jnp.float32),
         block_max_w=jnp.zeros((B,), dtype=jnp.int32),
+        last_seen=jnp.full((B,), -1, dtype=jnp.int32),
     )
 
 
@@ -114,7 +149,7 @@ def read_sdf_nearest(vol: TsdfVolume, pt_voxel: jax.Array):
     ptr = vhash.lookup(vol.table_keys, vol.table_ptrs, key, vol.params.max_probes)
     found = ptr >= 0
     safe = jnp.where(found, ptr, 0)
-    sdf = vol.sdf[safe, lin]
+    sdf = sdf_to_f32(vol.sdf[safe, lin])
     return jnp.where(found, sdf, 1.0), found
 
 
@@ -148,7 +183,7 @@ def read_sdf_trilinear(vol: TsdfVolume, pt_voxel: jax.Array):
     any_found = jnp.zeros(pt_voxel.shape[:-1], dtype=bool)
     for off, w in zip(_CORNERS, weights):
         safe, lin, found = _gather_corner(vol, base, off)
-        v = jnp.where(found, vol.sdf[safe, lin], 1.0)
+        v = jnp.where(found, sdf_to_f32(vol.sdf[safe, lin]), 1.0)
         acc = acc + w * v
         any_found = any_found | found
     return acc, any_found
@@ -168,7 +203,11 @@ def read_color_trilinear(vol: TsdfVolume, pt_voxel: jax.Array) -> jax.Array:
     acc = jnp.zeros((*pt_voxel.shape[:-1], 3), dtype=jnp.float32)
     for off, w in zip(_CORNERS, weights):
         safe, lin, found = _gather_corner(vol, base, off)
-        c = jnp.where(found[..., None], vol.color[safe, lin].astype(jnp.float32), 0.0)
+        p = vol.color[safe, lin]
+        c = jnp.stack(
+            [(p & 0xFF), (p >> 8) & 0xFF, (p >> 16) & 0xFF], axis=-1
+        ).astype(jnp.float32)
+        c = jnp.where(found[..., None], c, 0.0)
         acc = acc + w[..., None] * c
     return acc / 255.0
 
@@ -189,7 +228,9 @@ def read_sdf_with_confidence(vol: TsdfVolume, pt_voxel: jax.Array):
     conf_acc = 0.0
     for off, w in zip(_CORNERS, weights):
         safe, lin, found = _gather_corner(vol, base, off)
-        sdf_acc = sdf_acc + w * jnp.where(found, vol.sdf[safe, lin], 1.0)
+        sdf_acc = sdf_acc + w * jnp.where(
+            found, sdf_to_f32(vol.sdf[safe, lin]), 1.0
+        )
         conf_acc = conf_acc + w * jnp.where(
             found, vol.w_depth[safe, lin].astype(jnp.float32), 0.0
         )

@@ -125,7 +125,7 @@ def test_offline_ges_trainer(tmp_path):
     model = GaussianModel(cfg, 96, 72)
     fm = cams[0].get_frame_maps()
     mask = jnp.zeros((72, 96), bool).at[::2, ::2].set(True)
-    model.pool, _ = gmodel.add_gaussians(
+    model.pool, _, _ = gmodel.add_gaussians(
         model.pool, fm["vertex_map"], fm["color_map"], fm["normal_map"], mask,
         0.5, 1024, 0.5, (-1.0, 0.05), model.next_rng(),
     )

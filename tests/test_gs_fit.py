@@ -32,7 +32,7 @@ def test_spawn_and_optimize_reduces_loss(tmp_path):
     fm = cam.get_frame_maps()
     # spawn from every 3rd pixel (mask), no SDF base (pure gaussian fit)
     mask = jnp.zeros((120, 160), bool).at[::2, ::2].set(True)
-    m.pool, n_added = gmodel.add_gaussians(
+    m.pool, n_added, _ = gmodel.add_gaussians(
         m.pool, fm["vertex_map"], fm["color_map"], fm["normal_map"], mask,
         0.25, 2048, cfg.model.default_opacities,
         (cfg.model.min_init_scale, cfg.model.max_init_scale), m.next_rng(),
@@ -76,7 +76,7 @@ def test_model_save_load_roundtrip(tmp_path):
     m = GaussianModel(cfg, 160, 120)
     fm = cams[0].get_frame_maps()
     mask = jnp.zeros((120, 160), bool).at[::4, ::4].set(True)
-    m.pool, _ = gmodel.add_gaussians(
+    m.pool, _, _ = gmodel.add_gaussians(
         m.pool, fm["vertex_map"], fm["color_map"], fm["normal_map"], mask,
         1.0, 512, 0.5, (-1.0, 0.05), m.next_rng(),
     )

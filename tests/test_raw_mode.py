@@ -124,7 +124,7 @@ def test_offline_raw_training_reduces_loss(tmp_path):
 
     fm = cams[0].get_frame_maps()
     mask = jnp.zeros((72, 96), bool).at[::3, ::3].set(True)
-    model.pool, _ = gmodel.add_gaussians(
+    model.pool, _, _ = gmodel.add_gaussians(
         model.pool, fm["vertex_map"], fm["color_map"], fm["normal_map"], mask,
         1.0, 1024, 0.5, (-1.0, 0.05), model.next_rng(),
     )

@@ -117,6 +117,41 @@ def test_recon_mode(tmp_path):
     assert not os.path.exists(os.path.join(ws, "gs_model", "model.npz"))
 
 
+def test_count_cache_bootstraps(tmp_path):
+    """The async live-count cache must refresh past its 0 start: with a
+    stuck cache remove_redundant never prunes, init_new_gaussians stays on
+    the empty-pool branch, and opt_cap(cached=True) computes from 0
+    (advisor round-2 high finding)."""
+    from gps_slam_tpu.gs.model import GaussianModel
+    from gps_slam_tpu.slam.pipeline import SLAMPipeline
+    from gps_slam_tpu.tsdf.engine import TsdfEngine
+
+    n_frames = 25  # covers window frames 10 and 20 (local_opt_interval 10)
+    cams = synthetic.make_cameras(n_frames=n_frames, width=96, height=64)
+    cam0 = cams[0]
+    node = {
+        "input_dir": "m", "image_path": "c", "pose_path": "c", "depth_path": "d",
+        "pcd_name": "n", "depth_scale": 6553.5, "scene_scale": 1.0,
+        "start_frame": 0, "end_frame": n_frames - 1, "frame_step": 1,
+        "intrinsics": [cam0.fx, cam0.fy, cam0.cx, cam0.cy],
+        "image_shape": [96, 64], "downscale_factor": 1, "test_split_interval": -1,
+    }
+    cfg = Config.from_dict(
+        synthetic.default_config_dict(str(tmp_path / "ws"), node)
+    )
+    engine = TsdfEngine(cfg, 96, 64, cam0.K)
+    engine.set_gt_poses([c.c2w for c in cams])
+    engine.turn_off_tracking()
+    model = GaussianModel(cfg, 96, 64)
+    pipe = SLAMPipeline(cfg, engine, cfg.workspace_dir, is_train=False)
+    pipe.slam_train_cams(model, cams)
+    assert model.num_gaussians > 0
+    # the cache must have left its 0 bootstrap value and caught up with
+    # the true count (it lags at most one window = the last prune's value)
+    assert model.num_gaussians_cached > 0
+    assert model.num_gaussians_cached == model.num_gaussians
+
+
 def test_icp_tracker_converges():
     """ICP must recover a small pose perturbation against raycast maps."""
     import jax.numpy as jnp

@@ -84,3 +84,98 @@ def test_online_quality_gate_reports_good(tracked_run):
     _, _, qualities = tracked_run
     good = sum(q == TrackerQuality.GOOD for q in qualities[1:])
     assert good >= 0.7 * (len(qualities) - 1), qualities
+
+
+def _run_tracked(cams, cfg, W, H, depth_fn):
+    """Fuse+track the sequence with per-frame depth transformed by
+    depth_fn(depth, frame_idx).  Returns (engine, qualities)."""
+    import os
+
+    os.makedirs(cfg.workspace_dir, exist_ok=True)
+    engine = TsdfEngine(cfg, W, H, cams[0].K)
+    engine.set_gt_poses([cams[0].c2w])
+    engine.attach_tracker(ICPTracker(cfg, W, H))
+    qualities = []
+    for i, cam in enumerate(cams):
+        d = depth_fn(cam.depth, i)
+        engine.process_frame(jnp.asarray(cam.image), jnp.asarray(d))
+        qualities.append(engine._tracking_quality)
+    return engine, qualities
+
+
+def test_tracking_stress_noisy_long(tmp_path):
+    """The harder gate the round-2 verdict demanded: a longer trajectory
+    with injected sensor noise (Gaussian depth error + dropout).  ICP with
+    reference iteration budgets must keep ATE bounded — noise this size is
+    normal Kinect behaviour, not a failure case."""
+    W, H, N = 160, 120, 32
+    cams = synthetic.make_cameras(n_frames=N, width=W, height=H,
+                                  look="in", arc=0.05)
+    cam0 = cams[0]
+    node = {
+        "input_dir": "mem", "image_path": "c", "pose_path": "c",
+        "depth_path": "d", "pcd_name": "n", "depth_scale": 6553.5,
+        "scene_scale": 1.0, "start_frame": 0, "end_frame": N - 1,
+        "frame_step": 1, "intrinsics": [cam0.fx, cam0.fy, cam0.cx, cam0.cy],
+        "image_shape": [W, H], "downscale_factor": 1,
+        "test_split_interval": -1,
+    }
+    cfg_dict = synthetic.default_config_dict(str(tmp_path / "ws"), node)
+    cfg_dict["PIPE"]["TSDF"]["use_gt_pose"] = False
+    cfg = Config.from_dict(cfg_dict)
+    rng = np.random.default_rng(7)
+
+    def noisy(depth, i):
+        d = np.asarray(depth).copy()
+        d += rng.normal(0.0, 0.005, d.shape).astype(np.float32)  # 5 mm sigma
+        drop = rng.random(d.shape) < 0.10                        # 10% holes
+        d[drop] = 0.0
+        return np.maximum(d, 0.0)
+
+    engine, qualities = _run_tracked(cams, cfg, W, H, noisy)
+    est = [np.asarray(p) for p in engine.cam_poses]
+    gt = [c.c2w for c in cams]
+    ate_cm = metrics.ate_rmse_cm(est, gt)
+    vox_cm = engine.vol.params.voxel_size * 100.0
+    assert ate_cm < 6.0 * vox_cm, f"noisy ATE {ate_cm:.2f}cm"
+    # the gate must not report FAILED on survivable noise
+    failed = sum(q == TrackerQuality.FAILED for q in qualities[1:])
+    assert failed <= 0.2 * (N - 1), qualities
+
+
+def test_tracking_quality_degrades_on_garbage(tmp_path):
+    """Feed the tracker frames whose depth is mostly destroyed: the
+    quality gate must degrade (no GOOD verdicts), reach FAILED, and the
+    pose-revert path must keep poses finite instead of diverging
+    (ITMBasicEngine.tpp:365-366 semantics)."""
+    W, H, N = 160, 120, 8
+    cams = synthetic.make_cameras(n_frames=N, width=W, height=H,
+                                  look="in", arc=0.04)
+    cam0 = cams[0]
+    node = {
+        "input_dir": "mem", "image_path": "c", "pose_path": "c",
+        "depth_path": "d", "pcd_name": "n", "depth_scale": 6553.5,
+        "scene_scale": 1.0, "start_frame": 0, "end_frame": N - 1,
+        "frame_step": 1, "intrinsics": [cam0.fx, cam0.fy, cam0.cx, cam0.cy],
+        "image_shape": [W, H], "downscale_factor": 1,
+        "test_split_interval": -1,
+    }
+    cfg_dict = synthetic.default_config_dict(str(tmp_path / "ws"), node)
+    cfg_dict["PIPE"]["TSDF"]["use_gt_pose"] = False
+    cfg = Config.from_dict(cfg_dict)
+    rng = np.random.default_rng(3)
+
+    def garbage(depth, i):
+        if i == 0:
+            return depth  # seed the map with one clean frame
+        d = np.asarray(depth).copy()
+        drop = rng.random(d.shape) < 0.97          # 97% holes
+        d[drop] = 0.0
+        d += rng.normal(0.0, 0.2, d.shape).astype(np.float32)  # 20 cm noise
+        return np.maximum(d, 0.0)
+
+    engine, qualities = _run_tracked(cams, cfg, W, H, garbage)
+    assert all(q != TrackerQuality.GOOD for q in qualities[1:]), qualities
+    assert any(q == TrackerQuality.FAILED for q in qualities[1:]), qualities
+    for p in engine.cam_poses:
+        assert np.all(np.isfinite(p))
