@@ -64,6 +64,16 @@ class ActiveBins(NamedTuple):
     n_tile_overflow: jax.Array
     n_span_overflow: jax.Array
     n_active_overflow: jax.Array  # int32: active tiles dropped by the cap A
+    # precomputed pair->gaussian segment order for the backward's
+    # segment-sum (sorted by owning gaussian): these depend only on the
+    # binning, which is FIXED across a window's optimizer iterations —
+    # computing them here instead of inside the backward removes one
+    # 262k-element argsort + two searchsorteds from every iteration of
+    # the scanned Adam loop (XLA cannot hoist loop-invariant sorts out
+    # of lax.scan)
+    pair_order: jax.Array  # int32 [A*L] argsort of flat pair owner ids
+    seg_lo: jax.Array      # int32 [N] first sorted-pair index per gaussian
+    seg_hi: jax.Array      # int32 [N] one-past-last sorted-pair index
 
 
 def _bin_pairs(
@@ -118,9 +128,10 @@ def _bin_pairs(
 
     keys = tile_id.reshape(-1)
     vals = gid.reshape(-1)
-    order = jnp.argsort(keys)
-    keys_s = keys[order]
-    gids_s = vals[order]
+    # multi-operand sort carries the payload THROUGH the sort instead of
+    # argsort + two permutation gathers (the gathers ran on the scalar
+    # core at ~50 ms per 4.7M elements in the round-3 trace)
+    keys_s, gids_s = jax.lax.sort((keys, vals), num_keys=1, is_stable=True)
 
     offsets = jnp.searchsorted(keys_s, jnp.arange(T + 1, dtype=jnp.int32))
     counts = offsets[1:] - offsets[:-1]                         # [T]
@@ -187,9 +198,30 @@ def bin_gaussians_active(
     n_tile_overflow = jnp.sum(jnp.maximum(counts - tile_cap, 0))
     n_active = jnp.sum(active.astype(jnp.int32))
     n_active_overflow = jnp.maximum(n_active - active_cap, 0)
+
+    N = means2d.shape[0]
+    gidf = jnp.where(valid, gids_a, N).reshape(-1)         # [A*L]
+    AL = gidf.shape[0]
+    # joint sort (no argsort-gather) + run-length segment boundaries.
+    # jnp.searchsorted lowers to a serial while loop on TPU (57 ms per
+    # call at this scale in the round-3 trace); the run-start scatter
+    # below is two O(N) scatters + a nonzero compaction instead.
+    gsorted, pair_order = jax.lax.sort(
+        (gidf, jnp.arange(AL, dtype=jnp.int32)), num_keys=1, is_stable=True)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), gsorted[1:] != gsorted[:-1]])
+    # ≤ N+1 distinct values (incl. the padding sentinel N); fill = AL so
+    # padded runs get zero length below
+    starts, = jnp.nonzero(first, size=N + 1, fill_value=AL)
+    starts = starts.astype(jnp.int32)
+    svals = jnp.where(starts < AL, gsorted[jnp.minimum(starts, AL - 1)], N)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), AL, jnp.int32)])
+    seg_lo = jnp.zeros(N, jnp.int32).at[svals].set(starts, mode="drop")
+    seg_hi = jnp.zeros(N, jnp.int32).at[svals].set(ends, mode="drop")
     return ActiveBins(
         act_idx.astype(jnp.int32), gids_a, valid, n_pairs,
         n_tile_overflow, n_span_overflow, n_active_overflow,
+        pair_order, seg_lo, seg_hi,
     )
 
 
@@ -273,17 +305,18 @@ from functools import partial as _partial
 
 @_partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _ges_splat(static, means2d, conics, colors, opacities, gauss_depth,
-               gids, valid, ref_tiles, px, py):
+               gids, valid, ref_tiles, px, py, pair_order, seg_lo, seg_hi):
     return _splat_fwd_impl(static, means2d, conics, colors, opacities,
                            gauss_depth, gids, valid, ref_tiles, px, py)
 
 
 def _ges_splat_fwd(static, means2d, conics, colors, opacities, gauss_depth,
-                   gids, valid, ref_tiles, px, py):
+                   gids, valid, ref_tiles, px, py, pair_order, seg_lo,
+                   seg_hi):
     out = _splat_fwd_impl(static, means2d, conics, colors, opacities,
                           gauss_depth, gids, valid, ref_tiles, px, py)
     res = (means2d, conics, colors, opacities, gauss_depth,
-           gids, valid, ref_tiles, px, py)
+           gids, valid, ref_tiles, px, py, pair_order, seg_lo, seg_hi)
     return out, res
 
 
@@ -300,7 +333,7 @@ def _ges_splat_bwd(static, res, v_out):
     clamp, exactly like the reference."""
     delta_depth, chunk = static
     (means2d, conics, colors, opacities, gauss_depth,
-     gids, valid, ref_tiles, px, py) = res
+     gids, valid, ref_tiles, px, py, pair_order, seg_lo, seg_hi) = res
     C = colors.shape[1]
     N = means2d.shape[0]
     A_pad, L = gids.shape
@@ -343,13 +376,15 @@ def _ges_splat_bwd(static, res, v_out):
     _, contribs = jax.lax.scan(body, None, xs)
     K = 6 + C
     flat = contribs.reshape(A_pad * L, K)
-    gidf = jnp.where(valid.reshape(-1), gids.reshape(-1), N)
-    order = jnp.argsort(gidf)
-    gs = gidf[order]
+    # segment-sum via the binning's PRECOMPUTED pair order (loop-invariant
+    # across the window's iterations).  pair_order covers the unpadded A*L
+    # pairs; padding rows contribute exact zeros and sit at the tail, so
+    # appending them in place keeps every gaussian's [lo, hi) range valid.
+    AL = pair_order.shape[0]
+    order = (pair_order if AL == A_pad * L else jnp.concatenate(
+        [pair_order, jnp.arange(AL, A_pad * L, dtype=pair_order.dtype)]))
     cs = jnp.cumsum(flat[order].astype(jnp.float32), axis=0)
-    ar = jnp.arange(N, dtype=gs.dtype)
-    lo = jnp.searchsorted(gs, ar)                 # [N]
-    hi = jnp.searchsorted(gs, ar + 1)
+    lo, hi = seg_lo, seg_hi
     top = cs[jnp.clip(hi - 1, 0, cs.shape[0] - 1)]
     bot = jnp.where((lo > 0)[:, None], cs[jnp.clip(lo - 1, 0, cs.shape[0] - 1)], 0.0)
     seg = jnp.where((hi > lo)[:, None], top - bot, 0.0)  # [N, K]
@@ -359,7 +394,7 @@ def _ges_splat_bwd(static, res, v_out):
     v_colors = seg[:, 5:5 + C]
     v_opac = seg[:, 5 + C]
     return (v_means2d, v_conics, v_colors, v_opac,
-            None, None, None, None, None, None)
+            None, None, None, None, None, None, None, None, None)
 
 
 _ges_splat.defvjp(_ges_splat_fwd, _ges_splat_bwd)
@@ -435,6 +470,7 @@ def ges_rasterize_active(
         gids, jax.lax.stop_gradient(valid),
         jax.lax.stop_gradient(ref_tiles),
         jax.lax.stop_gradient(px), jax.lax.stop_gradient(py),
+        bins.pair_order, bins.seg_lo, bins.seg_hi,
     )
 
     # scatter into the full tile grid (padding rows target tile T -> drop)

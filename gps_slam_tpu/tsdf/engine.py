@@ -148,8 +148,22 @@ class TsdfEngine:
         B = self.params.block_capacity
         fut = getattr(self, "_nb_future", None)
         if fut is not None:
-            self._nb_cache = int(fut)
-            self._nb_future = None
+            # NON-blocking consume: int(fut) before the queued fuse drains
+            # is a hard sync (~30 ms RTT on this tunnel) that serializes
+            # the async pipeline — measured 8.2 -> 6.0 fps at bench scale.
+            # A stale-low prefix only delays brand-new blocks' first
+            # integration by a frame, so skipping a not-ready future is
+            # free; the margin covers the lag.
+            try:
+                ready = fut.is_ready()
+            except Exception:
+                ready = True
+            if ready:
+                try:
+                    self._nb_cache = int(fut)
+                except Exception:
+                    pass  # deleted/donated buffer: keep the stale cache
+                self._nb_future = None
         n = getattr(self, "_nb_cache", 0) + self._PREFIX_MARGIN
         b = 1 << 14
         while b < n and b < B:
@@ -225,14 +239,21 @@ class TsdfEngine:
                                if self.swap is not None else None),
                     pool_prefix=self._pool_prefix(),
                 )
-                # async cursor refresh consumed by next frame's
-                # _pool_prefix (a sync int() here costs ~30 ms RTT)
-                a = self.vol.n_blocks
-                try:
-                    a.copy_to_host_async()
-                except Exception:
-                    pass
-                self._nb_future = a
+                # async cursor refresh consumed by a later frame's
+                # _pool_prefix.  Only ONE outstanding future: an
+                # unconsumed future ages until it is ready (overwriting
+                # it every frame under a deep dispatch queue would keep
+                # the cache at its bootstrap value forever)
+                if getattr(self, "_nb_future", None) is None:
+                    # `+ 0` detaches from the donated volume pytree (the
+                    # raw n_blocks buffer is reused by a later fuse and
+                    # would raise on fetch)
+                    a = self.vol.n_blocks + 0
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:
+                        pass
+                    self._nb_future = a
             if self.swap is not None and i % self.swap_check_interval == 0:
                 # cold path: spill cold blocks / merge re-seen ones back
                 # (sync fetches inside — only runs when swapping is on)
@@ -253,7 +274,7 @@ class TsdfEngine:
 
     def run_raycast(self, c2w: np.ndarray, K: np.ndarray | None = None,
                     width: int | None = None, height: int | None = None,
-                    quality: bool = False) -> dict:
+                    quality: bool = True) -> dict:
         """Raycast from an arbitrary pose (the fork's runRaycast service,
         ITMBasicEngine.tpp:501; consumed by SLAMPipeline::runRaycastByCam,
         slam_pipeline.cpp:362-415).
