@@ -17,36 +17,57 @@ def l1(a: jax.Array, b: jax.Array, mask: jax.Array | None = None) -> jax.Array:
     return jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jax.Array:
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
-    return g / g.sum()
+def _gaussian_window(size: int = 11, sigma: float = 1.5):
+    import numpy as np
+
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return [float(v) for v in g / g.sum()]
+
+
+def _blur_valid(x: jax.Array) -> jax.Array:
+    """Separable 11x11 Gaussian blur, VALID padding, over the trailing two
+    axes of [..., H, W].
+
+    TPU formulation: each 1-D conv is 11 shifted-slice multiply-adds —
+    one fused VPU stencil pass in f32.  An XLA conv at [C, 1, H, W]
+    (feature dim 1) picks T(1,128)/T(2,128) vector layouts and brackets
+    every call with ~2 ms of layout-change copies (round-3 xplane trace:
+    SSIM was ~8.7 ms of the 19.9 ms optimizer iteration); the stencil
+    stays in the native T(8,128) layout end-to-end."""
+    w = _gaussian_window()
+
+    def conv1d(v, axis):
+        n = v.shape[axis] - 10
+        out = w[0] * jax.lax.slice_in_dim(v, 0, n, axis=axis)
+        for k in range(1, 11):
+            out = out + w[k] * jax.lax.slice_in_dim(v, k, k + n, axis=axis)
+        return out
+
+    return conv1d(conv1d(x, x.ndim - 1), x.ndim - 2)
 
 
 def ssim_map(img1: jax.Array, img2: jax.Array, c1: float = 0.01 ** 2,
              c2: float = 0.03 ** 2) -> jax.Array:
     """SSIM map with 'valid' padding, [H, W, C] inputs
-    (FusedSSIMMap equivalent, gsplat_wapper.hpp:622-677)."""
-    w = _gaussian_window()
+    (FusedSSIMMap equivalent, gsplat_wapper.hpp:622-677).
 
-    def blur(x):
-        # separable 11x1 then 1x11, channels independent: [H, W, C]
-        xt = x.transpose(2, 0, 1)[:, None]  # [C,1,H,W]
-        k1 = w.reshape(1, 1, -1, 1)
-        k2 = w.reshape(1, 1, 1, -1)
-        dn = jax.lax.conv_dimension_numbers(xt.shape, k1.shape, ("NCHW", "OIHW", "NCHW"))
-        y = jax.lax.conv_general_dilated(xt, k1, (1, 1), "VALID", dimension_numbers=dn)
-        y = jax.lax.conv_general_dilated(y, k2, (1, 1), "VALID", dimension_numbers=dn)
-        return y[:, 0].transpose(1, 2, 0)
-
-    mu1, mu2 = blur(img1), blur(img2)
+    All five moment maps (x, y, x^2, y^2, xy) are blurred in ONE stacked
+    stencil call so XLA emits a single fused pass per direction."""
+    a = img1.transpose(2, 0, 1)
+    b = img2.transpose(2, 0, 1)
+    C = a.shape[0]
+    stack = jnp.concatenate([a, b, a * a, b * b, a * b], 0)  # [5C, H, W]
+    bl = _blur_valid(stack)
+    mu1, mu2 = bl[:C], bl[C:2 * C]
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = blur(img1 * img1) - mu1_sq
-    s2 = blur(img2 * img2) - mu2_sq
-    s12 = blur(img1 * img2) - mu12
-    return ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+    s1 = bl[2 * C:3 * C] - mu1_sq
+    s2 = bl[3 * C:4 * C] - mu2_sq
+    s12 = bl[4 * C:5 * C] - mu12
+    out = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
     )
+    return out.transpose(1, 2, 0)
 
 
 def psnr(a: jax.Array, b: jax.Array) -> jax.Array:
