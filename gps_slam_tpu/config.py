@@ -299,6 +299,10 @@ class TpuConfig:
     # spatial sharding of the voxel pools across a device mesh
     # (parallel/spatial.py); 1 = single-volume path
     space_shards: int = 1
+    # surface extraction: "mt" (marching tetrahedra) or "mc" (classic
+    # 256-case marching cubes — reference-topology mode,
+    # ITMMeshingEngine_Shared.h; table derived in tsdf/meshing.py)
+    mesh_algo: str = "mt"
 
     @staticmethod
     def from_node(n: dict | None) -> "TpuConfig":

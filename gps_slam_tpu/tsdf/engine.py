@@ -60,6 +60,7 @@ class TsdfEngine:
         # S, fusion needs no collectives, raycast merges by nearest hit.
         # Leaves are placed over a ("space",) mesh when S devices exist;
         # on fewer devices the stacked [S, ...] form still runs (vmap).
+        self.mesh_algo = str(tpu.mesh_algo)
         self.space_shards = int(tpu.space_shards)
         if self.space_shards > 1:
             assert not tpu.enable_swapping, (
@@ -394,8 +395,9 @@ class TsdfEngine:
         self.current_frame = len(self.cam_poses)
 
     def save_mesh(self, path: str) -> None:
-        """Marching-tetrahedra surface -> colored PLY
-        (ITMBasicEngine::SaveSceneToMesh, ITMBasicEngine.tpp:105-117).
+        """Iso-surface -> colored PLY
+        (ITMBasicEngine::SaveSceneToMesh, ITMBasicEngine.tpp:105-117);
+        algorithm per TPU.mesh_algo ("mt" default, "mc" reference-topology).
         Sharded volumes mesh per shard and concatenate (blocks are
         disjoint by ownership; cells whose neighbor block lives in
         another shard are skipped by the require_weight guard — a
@@ -408,11 +410,11 @@ class TsdfEngine:
             for s in range(self.space_shards):
                 shard = jax.tree.map(
                     lambda x: x[s] if hasattr(x, "shape") else x, self.vol)
-                parts.append(extract_mesh(shard))
+                parts.append(extract_mesh(shard, algo=self.mesh_algo))
             verts = np.concatenate([v for v, _ in parts], 0)
             cols = np.concatenate([c for _, c in parts], 0)
         else:
-            verts, cols = extract_mesh(self.vol)
+            verts, cols = extract_mesh(self.vol, algo=self.mesh_algo)
         uio.save_mesh_ply(path, verts, cols)
 
     @property

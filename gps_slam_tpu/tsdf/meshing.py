@@ -70,6 +70,130 @@ _CUBE_CORNERS = np.array(
     [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], dtype=np.int32
 )
 
+# ---------------------------------------------------------------------------
+# Classic marching cubes (reference-topology mode, algo="mc")
+#
+# The reference meshes with the standard 256-case MC table
+# (InfiniTAM/ITMLib/Engines/Meshing/Shared/ITMMeshingEngine_Shared.h:22).
+# Rather than transcribing that table, we *derive* it from cube topology at
+# import time: for each of the 256 sign configurations the iso-surface
+# crosses a known set of cube edges; on every cube face the crossed edges
+# pair up into arcs (an ambiguous 4-crossing face is resolved by keeping
+# diagonal inside-corners separated — the same convention as the standard
+# table); arcs chain into closed polygons which are fan-triangulated and
+# oriented so normals point from sdf<0 to sdf>=0.  Vertex placement (linear
+# interpolation on cube edges) is identical to the reference's, so
+# triangulations match the standard table's up to polygon fan order.
+
+# 12 cube edges, axis-major: x-edges (0,1)(2,3)(4,5)(6,7), then y, then z.
+_MC_EDGE_CORNERS = np.array(
+    [(c, c | (1 << ax)) for ax in range(3) for c in range(8)
+     if not (c >> ax) & 1],
+    dtype=np.int32,
+)
+_MC_MAX_TRIS = 6  # observed max is 4-5 (hexagon fan / 4 isolated corners)
+
+
+def _gen_mc_table() -> np.ndarray:
+    """[256, 3*_MC_MAX_TRIS] int8 edge-index triangle lists, -1 padded."""
+    edge_of = {}
+    for e, (a, b) in enumerate(_MC_EDGE_CORNERS):
+        edge_of[(int(a), int(b))] = e
+        edge_of[(int(b), int(a))] = e
+    # 6 faces: axis a fixed at side s; 4 corners in cyclic order
+    faces = []
+    for ax in range(3):
+        u, v = [d for d in range(3) if d != ax]
+        for s in (0, 1):
+            faces.append([
+                (s << ax) | (uu << u) | (vv << v)
+                for uu, vv in ((0, 0), (1, 0), (1, 1), (0, 1))
+            ])
+    P = _CUBE_CORNERS.astype(np.float64)
+    table = -np.ones((256, 3 * _MC_MAX_TRIS), dtype=np.int8)
+    for mask in range(1, 255):
+        inside = [(mask >> c) & 1 for c in range(8)]
+        nbr: dict[int, list[int]] = {}
+        for q in faces:
+            f = [inside[c] for c in q]
+            if min(f) == max(f):
+                continue
+            for i in range(4):
+                if f[i] and not f[i - 1]:
+                    j = i
+                    while f[(j + 1) % 4]:
+                        j = (j + 1) % 4
+                    e1 = edge_of[(q[i - 1], q[i])]
+                    e2 = edge_of[(q[j], q[(j + 1) % 4])]
+                    nbr.setdefault(e1, []).append(e2)
+                    nbr.setdefault(e2, []).append(e1)
+        tris: list[tuple[int, int, int]] = []
+        visited: set[int] = set()
+        for e0 in sorted(nbr):
+            if e0 in visited:
+                continue
+            cyc, prev, cur = [e0], -1, e0
+            visited.add(e0)
+            while True:
+                a, b = nbr[cur]
+                nxt = b if a == prev else a
+                if nxt == e0:
+                    break
+                cyc.append(nxt)
+                visited.add(nxt)
+                prev, cur = cur, nxt
+            mid = np.stack([P[_MC_EDGE_CORNERS[e]].mean(0) for e in cyc])
+            n = len(cyc)
+            newell = np.zeros(3)
+            for i in range(n):
+                newell += np.cross(mid[i], mid[(i + 1) % n])
+            outward = np.zeros(3)
+            for e in cyc:
+                a, b = _MC_EDGE_CORNERS[e]
+                sgn = 1.0 if inside[a] else -1.0
+                outward += sgn * (P[b] - P[a])
+            if float(newell @ outward) < 0:
+                cyc.reverse()
+            tris.extend((cyc[0], cyc[i], cyc[i + 1]) for i in range(1, n - 1))
+        assert len(tris) <= _MC_MAX_TRIS, (mask, tris)
+        flat = [e for t in tris for e in t]
+        table[mask, : len(flat)] = flat
+    return table
+
+
+_MC_TRI = _gen_mc_table()
+
+
+def _mesh_cells_mc(vals: np.ndarray, cols: np.ndarray, cell_base: np.ndarray):
+    """Classic marching cubes over active cells — same contract as
+    _mesh_cells (marching tetrahedra)."""
+    inside = vals < 0                                    # [m, 8]
+    mask = np.zeros(vals.shape[0], dtype=np.int32)
+    for c in range(8):
+        mask |= inside[:, c].astype(np.int32) << c
+    corner_pos = cell_base[:, None, :] + _CUBE_CORNERS[None, :, :]
+    a, b = _MC_EDGE_CORNERS[:, 0], _MC_EDGE_CORNERS[:, 1]
+    sa, sb = vals[:, a], vals[:, b]                      # [m, 12]
+    tpar = sa / np.where(np.abs(sa - sb) < 1e-12, 1e-12, sa - sb)
+    tpar = np.clip(tpar, 0.0, 1.0)[..., None]
+    epos = corner_pos[:, a] * (1 - tpar) + corner_pos[:, b] * tpar
+    ecol = cols[:, a] * (1 - tpar) + cols[:, b] * tpar
+    tris = _MC_TRI[mask].astype(np.int32)                # [m, 18]
+    out_v, out_c = [], []
+    for k in range(_MC_MAX_TRIS):
+        tk = tris[:, 3 * k : 3 * k + 3]
+        sel = np.nonzero(tk[:, 0] >= 0)[0]
+        if sel.size == 0:
+            continue
+        e = tk[sel]
+        out_v.append(epos[sel[:, None], e])
+        out_c.append(ecol[sel[:, None], e])
+    if not out_v:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+    v = np.concatenate(out_v).reshape(-1, 3).astype(np.float32)
+    c = np.concatenate(out_c).reshape(-1, 3).astype(np.float32)
+    return v, c
+
 
 class _HostHash:
     """Numpy mirror of the device hash for neighbor-block lookups."""
@@ -153,7 +277,8 @@ def _extended_grids(vol_np: dict, block_ids: np.ndarray, hh: _HostHash):
 
 
 def extract_mesh(vol: TsdfVolume, chunk_blocks: int = 2048,
-                 require_weight: bool = True, use_native: bool = True):
+                 require_weight: bool = True, use_native: bool = True,
+                 algo: str = "mt"):
     """Extract the iso-surface as a triangle soup.
 
     Returns (vertices [3T, 3] metres, colors [3T, 3] in [0,1]).
@@ -161,13 +286,19 @@ def extract_mesh(vol: TsdfVolume, chunk_blocks: int = 2048,
     the truncation-boundary skin classic MC produces from uninitialized
     sdf=1 neighbors.
 
+    `algo`: "mt" (marching tetrahedra, default) or "mc" (classic marching
+    cubes — reference-topology mode for apples-to-apples mesh comparison
+    against ITMMeshingEngine output).
+
     Uses the native C++ mesher (native/mesher.cpp, OpenMP) when available;
     this numpy implementation is the fallback and the test oracle.
     """
+    if algo not in ("mt", "mc"):
+        raise ValueError(f"unknown mesh algo {algo!r} (want 'mt' or 'mc')")
     if use_native:
         from .native import extract_mesh_native
 
-        res = extract_mesh_native(vol, require_weight)
+        res = extract_mesh_native(vol, require_weight, algo=algo)
         if res is not None:
             return res
     from .volume import unpack_color_np
@@ -207,7 +338,8 @@ def extract_mesh(vol: TsdfVolume, chunk_blocks: int = 2048,
             bsel[:, None], cx[0, csel], cy[0, csel], cz[0, csel]
         ].astype(np.float32) / 255.0                # [m, 8, 3]
 
-        verts, vcols = _mesh_cells(v_act, cols_act, cell_base)
+        cells_fn = _mesh_cells if algo == "mt" else _mesh_cells_mc
+        verts, vcols = cells_fn(v_act, cols_act, cell_base)
         if verts.size:
             all_verts.append(verts * vol.params.voxel_size)
             all_cols.append(vcols)

@@ -24,8 +24,12 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, "libmesher.so")
-    if not os.path.exists(so):
-        src = os.path.join(_NATIVE_DIR, "mesher.cpp")
+    src = os.path.join(_NATIVE_DIR, "mesher.cpp")
+    stale = (
+        os.path.exists(so) and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(so)
+    )
+    if not os.path.exists(so) or stale:
         if not os.path.exists(src):
             return None
         try:
@@ -45,6 +49,7 @@ def _load():
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.c_float, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int8),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
         ]
@@ -59,12 +64,20 @@ def native_available() -> bool:
 
 
 def extract_mesh_native(vol, require_weight: bool = True,
-                        max_verts: int = 20_000_000):
+                        max_verts: int = 20_000_000, algo: str = "mt"):
     """Native mesh extraction; returns (verts [V,3], colors [V,3]) or None
-    when the native library is unavailable."""
+    when the native library is unavailable.  algo: "mt" (marching
+    tetrahedra) or "mc" (classic marching cubes; the 256-case table is
+    generated in meshing.py and handed to the C++ side)."""
     lib = _load()
     if lib is None:
         return None
+    if algo == "mc":
+        from .meshing import _MC_TRI
+
+        mc_tri = np.ascontiguousarray(_MC_TRI, np.int8)
+    else:
+        mc_tri = np.zeros(1, np.int8)
     tk = np.ascontiguousarray(np.asarray(vol.table_keys), np.uint32)
     tp = np.ascontiguousarray(np.asarray(vol.table_ptrs), np.int32)
     bc = np.ascontiguousarray(np.asarray(vol.block_coords), np.uint32)
@@ -88,6 +101,7 @@ def extract_mesh_native(vol, require_weight: bool = True,
         ptr(w, ctypes.c_int16), ptr(col, ctypes.c_uint8),
         ctypes.c_int64(n_blocks), ctypes.c_float(vol.params.voxel_size),
         ctypes.c_int(1 if require_weight else 0),
+        ctypes.c_int(1 if algo == "mc" else 0), ptr(mc_tri, ctypes.c_int8),
         ptr(out_v, ctypes.c_float), ptr(out_c, ctypes.c_float),
         ctypes.c_int64(max_verts),
     )

@@ -89,18 +89,41 @@ struct HostHash {
 
 inline int lin_id(int x, int y, int z) { return x + BLOCK * y + BLOCK * BLOCK * z; }
 
+// 12 cube edges, axis-major (x-edges, y-edges, z-edges) — must match
+// gps_slam_tpu/tsdf/meshing.py::_MC_EDGE_CORNERS, which also generates the
+// 256-case triangle table passed in as mc_tri (the table is derived from
+// cube topology at Python import time; see meshing.py).
+struct MCEdges {
+    int c[12][2];
+    MCEdges() {
+        int e = 0;
+        for (int ax = 0; ax < 3; ++ax)
+            for (int corner = 0; corner < 8; ++corner)
+                if (!((corner >> ax) & 1)) {
+                    c[e][0] = corner;
+                    c[e][1] = corner | (1 << ax);
+                    ++e;
+                }
+    }
+};
+const MCEdges MC_EDGES;
+constexpr int MC_MAX_TRIS = 6;
+
 }  // namespace
 
 extern "C" {
 
 // Returns the number of emitted vertices (3 per triangle), clamped to
 // max_verts; out_verts/out_cols are [max_verts, 3] float32.
+// algo: 0 = marching tetrahedra, 1 = classic marching cubes using the
+// caller-provided [256, 3*MC_MAX_TRIS] int8 edge-index table (mc_tri,
+// -1 padded; may be null when algo == 0).
 int64_t extract_mesh(
     const uint32_t *table_keys, const int32_t *table_ptrs, int64_t hash_size,
     int max_probes, const uint32_t *block_coords, const float *sdf,
     const int16_t *w_depth, const uint8_t *color, int64_t n_blocks,
-    float voxel_size, int require_weight, float *out_verts, float *out_cols,
-    int64_t max_verts)
+    float voxel_size, int require_weight, int algo, const int8_t *mc_tri,
+    float *out_verts, float *out_cols, int64_t max_verts)
 {
     HostHash hh{table_keys, table_ptrs, hash_size, max_probes};
     std::atomic<int64_t> cursor{0};
@@ -183,6 +206,42 @@ int64_t extract_mesh(
                         }
                         if (!any_neg || !any_pos) continue;
                         if (require_weight && !w_ok) continue;
+
+                        if (algo == 1) {
+                            int mask = 0;
+                            for (int c = 0; c < 8; ++c)
+                                if (vals[c] < 0) mask |= 1 << c;
+                            const int8_t *tl = mc_tri + mask * 3 * MC_MAX_TRIS;
+                            float ep[12][3], ec[12][3];
+                            bool have[12] = {};
+                            for (int i = 0; i < 3 * MC_MAX_TRIS && tl[i] >= 0; ++i) {
+                                int e = tl[i];
+                                if (!have[e]) {
+                                    have[e] = true;
+                                    int a = MC_EDGES.c[e][0], bb = MC_EDGES.c[e][1];
+                                    float sa = vals[a], sb2 = vals[bb];
+                                    float den = sa - sb2;
+                                    float t = sa / (std::fabs(den) < 1e-12f ? 1e-12f : den);
+                                    t = t < 0 ? 0 : (t > 1 ? 1 : t);
+                                    int ax = cx + (a & 1), ay = cy + ((a >> 1) & 1), az = cz + ((a >> 2) & 1);
+                                    int bx2 = cx + (bb & 1), by2 = cy + ((bb >> 1) & 1), bz2 = cz + ((bb >> 2) & 1);
+                                    ep[e][0] = basex + ax + t * (bx2 - ax);
+                                    ep[e][1] = basey + ay + t * (by2 - ay);
+                                    ep[e][2] = basez + az + t * (bz2 - az);
+                                    for (int ch = 0; ch < 3; ++ch)
+                                        ec[e][ch] = (ext_c[ax][ay][az][ch] +
+                                                     t * (float(ext_c[bx2][by2][bz2][ch]) -
+                                                          ext_c[ax][ay][az][ch])) / 255.0f;
+                                }
+                                lv.push_back(ep[e][0] * voxel_size);
+                                lv.push_back(ep[e][1] * voxel_size);
+                                lv.push_back(ep[e][2] * voxel_size);
+                                lc.push_back(ec[e][0]);
+                                lc.push_back(ec[e][1]);
+                                lc.push_back(ec[e][2]);
+                            }
+                            continue;
+                        }
 
                         for (auto &tet : TETS) {
                             int mask = 0;

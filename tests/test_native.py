@@ -33,3 +33,64 @@ def test_native_mesher_matches_numpy():
     cc_np = np.sort(c_np.reshape(-1, 9), axis=0)
     cc_na = np.sort(c_na.reshape(-1, 9), axis=0)
     np.testing.assert_allclose(cc_na, cc_np, atol=2e-2)
+
+
+def _fused_volume():
+    cams = synthetic.make_cameras(n_frames=4, width=96, height=72)
+    p = vm.TsdfParams(voxel_size=0.02, mu=0.08, hash_size=1 << 15,
+                      block_capacity=1 << 12, visible_capacity=1 << 11,
+                      raycast_steps=48)
+    vol = vm.create(p)
+    for c in cams:
+        vol = integrate.fuse_frame(
+            vol, jnp.asarray(c.depth[..., 0]), jnp.asarray(c.image),
+            jnp.asarray(c.c2w), jnp.asarray(c.K),
+        )
+    return vol
+
+
+@pytest.mark.skipif(not native_available(), reason="g++/native lib unavailable")
+def test_native_mc_matches_numpy_mc():
+    vol = _fused_volume()
+    v_np, c_np = extract_mesh(vol, use_native=False, algo="mc")
+    v_na, c_na = extract_mesh(vol, use_native=True, algo="mc")
+    assert v_np.shape[0] > 0
+    assert v_na.shape[0] == v_np.shape[0], (v_na.shape, v_np.shape)
+    tri_np = np.sort(v_np.reshape(-1, 9), axis=0)
+    tri_na = np.sort(v_na.reshape(-1, 9), axis=0)
+    np.testing.assert_allclose(tri_na, tri_np, atol=1e-5)
+    cc_np = np.sort(c_np.reshape(-1, 9), axis=0)
+    cc_na = np.sort(c_na.reshape(-1, 9), axis=0)
+    np.testing.assert_allclose(cc_na, cc_np, atol=2e-2)
+
+
+def test_mc_vs_mt_surface_agreement():
+    """MT and MC must extract the same iso-surface to sub-voxel tolerance:
+    reports the vertex-set F1 at a 1-voxel threshold (the systematic offset
+    VERDICT round-2 'What's missing' #5 asked to measure)."""
+    vol = _fused_volume()
+    v_mt, _ = extract_mesh(vol, algo="mt")
+    v_mc, _ = extract_mesh(vol, algo="mc")
+    assert v_mt.shape[0] > 0 and v_mc.shape[0] > 0
+    # MC emits fewer triangles than 6-tet MT on the same cells
+    assert v_mc.shape[0] < v_mt.shape[0]
+
+    def near_frac(a, b, thr):
+        # fraction of a-vertices within thr of some b-vertex (grid-bucketed)
+        key = np.round(b / thr).astype(np.int64)
+        cells = set(map(tuple, key))
+        off = np.array(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                   indexing="ij")).reshape(3, -1).T
+        ka = np.round(a / thr).astype(np.int64)
+        ok = np.zeros(a.shape[0], bool)
+        for o in off:
+            ok |= np.array([tuple(k) in cells for k in ka + o])
+        return float(ok.mean())
+
+    thr = vol.params.voxel_size
+    prec = near_frac(v_mc, v_mt, thr)
+    rec = near_frac(v_mt, v_mc, thr)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    print(f"[MC-vs-MT] precision={prec:.4f} recall={rec:.4f} F1={f1:.4f} "
+          f"(thr = 1 voxel), tris mt={v_mt.shape[0]//3} mc={v_mc.shape[0]//3}")
+    assert f1 > 0.99, (prec, rec)
