@@ -48,6 +48,11 @@ class ReaderConfig:
     image_shape: tuple[int, int]  # width, height
     downscale_factor: float
     test_split_interval: int
+    # depth decoding: "affine" (raw/depth_scale, the reference release
+    # configs' only mode) or "kinect_disparity" (raw disparity ->
+    # 8*c2*fx/(c1-raw); ITMViewBuilder ConvertDisparityToDepth parity)
+    depth_mode: str = "affine"
+    disparity_calib: tuple[float, float] = (0.0, 0.0)
 
     @staticmethod
     def from_node(n: dict) -> "ReaderConfig":
@@ -66,6 +71,10 @@ class ReaderConfig:
             image_shape=tuple(int(x) for x in _req(n, "image_shape", "READER")),
             downscale_factor=float(_req(n, "downscale_factor", "READER")),
             test_split_interval=int(_req(n, "test_split_interval", "READER")),
+            depth_mode=str(n.get("depth_mode", "affine")),
+            disparity_calib=tuple(
+                float(x) for x in n.get("disparity_calib", (0.0, 0.0))
+            ),
         )
 
 

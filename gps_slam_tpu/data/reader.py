@@ -37,12 +37,31 @@ def _imread_rgb(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
 
-def _imread_depth(path: str, depth_scale: float) -> np.ndarray:
+def disparity_to_depth(raw: np.ndarray, c1: float, c2: float,
+                       fx: float) -> np.ndarray:
+    """Kinect-style disparity -> metric depth:
+    depth = 8 * c2 * fx / (c1 - raw), non-positive denominators invalid.
+
+    Capability parity with InfiniTAM's ITMViewBuilder ConvertDisparityToDepth
+    (Engines/ViewBuilding/Shared/ITMViewBuilder_Shared.h, calib params
+    (c1, c2) from ITMDisparityCalib); the affine short->metric path
+    (1/depth_scale) stays the default like the reference's
+    AFFINE calibration type."""
+    den = c1 - raw.astype(np.float32)
+    d = np.where(den > 1e-6, (8.0 * c2 * fx) / np.maximum(den, 1e-6), 0.0)
+    return np.where(d > 0, d, 0.0).astype(np.float32)
+
+
+def _imread_depth(path: str, depth_scale: float, depth_mode: str = "affine",
+                  disparity_calib=(0.0, 0.0), fx: float = 1.0) -> np.ndarray:
     import cv2
 
     d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if d is None:
         raise FileNotFoundError(path)
+    if depth_mode == "kinect_disparity":
+        c1, c2 = disparity_calib
+        return disparity_to_depth(d, c1, c2, fx)[..., None]
     return (d.astype(np.float32) / depth_scale)[..., None]
 
 
@@ -124,7 +143,10 @@ class DatasetReader:
                 cam.image = cv2.resize(cam.image, None, fx=s, fy=s, interpolation=cv2.INTER_AREA)
                 cam = self._rescale_cam(cam)
             if self.has_depth:
-                cam.depth = _imread_depth(depth_file, cfg.depth_scale)
+                cam.depth = _imread_depth(
+                    depth_file, cfg.depth_scale, cfg.depth_mode,
+                    cfg.disparity_calib, self.fx,
+                )
                 if self.downscale_factor > 1.0:
                     import cv2
 

@@ -103,11 +103,30 @@ class SLAMPipeline:
         a = jnp.asarray(x)
         float(a.ravel()[0])
 
+    def _calibrate_sync_rtt(self) -> float:
+        """Median host<->device round-trip of fetching an already-computed
+        scalar (ms).  On the axon tunnel this is ~30 ms — three orders of
+        magnitude above a local cudaDeviceSynchronize — so honest-timing
+        phase columns subtract it; otherwise every phase would carry a
+        constant +RTT that is transport cost, not device work."""
+        x = jnp.zeros(())
+        float(x)  # materialize before timing
+        samples = []
+        for _ in range(5):
+            t = time.monotonic()
+            float(x + 0)
+            samples.append((time.monotonic() - t) * 1000.0)
+        samples.sort()
+        return samples[len(samples) // 2]
+
     def slam_train_cams(self, model: GaussianModel, cams: list[Camera]) -> None:
         """SLAMTrainCams (slam_pipeline.cpp:52-173)."""
         p = self.pipe
         total = len(cams)
         sync = self.log_pipeline_time
+        rtt = self._calibrate_sync_rtt() if sync else 0.0
+        if sync:
+            print(f"[SYNC RTT] {rtt:.1f} ms/fetch subtracted per phase")
         # seed the async live-count cache (nonzero when a loaded model
         # resumes; the windowed loop keeps it fresh from here on)
         model.refresh_count_async()
@@ -134,7 +153,7 @@ class SLAMPipeline:
             self._pose_idx[cam.id] = len(self.engine.cam_poses) - 1
             self.curr_cam = cam
             self.update_frame_list()
-            self.t_fusion += (time.monotonic() - t0) * 1000.0
+            self.t_fusion += max((time.monotonic() - t0) * 1000.0 - rtt, 0.0)
 
             if self.cfg.work_mode == "recon":
                 continue
@@ -165,11 +184,11 @@ class SLAMPipeline:
                 else:
                     jax.block_until_ready(model.pool.n_alive)
                 t6 = time.monotonic()
-                self.t_local_raycast += (t2 - t1) * 1000
-                self.t_key_raycast += (t3 - t2) * 1000
-                self.t_init_gs += (t4 - t3) * 1000
-                self.t_opt += (t5 - t4) * 1000
-                self.t_remove += (t6 - t5) * 1000
+                self.t_local_raycast += max((t2 - t1) * 1000 - rtt, 0.0)
+                self.t_key_raycast += max((t3 - t2) * 1000 - rtt, 0.0)
+                self.t_init_gs += max((t4 - t3) * 1000 - rtt, 0.0)
+                self.t_opt += max((t5 - t4) * 1000 - rtt, 0.0)
+                self.t_remove += max((t6 - t5) * 1000 - rtt, 0.0)
 
         total_ms = (time.monotonic() - t_start) * 1000.0
         self.write_time_log(model, total, total_ms)

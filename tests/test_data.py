@@ -71,3 +71,45 @@ def test_random_selector():
     # two full epochs, each a permutation
     assert sorted(seen[:5]) == list("abcde")
     assert sorted(seen[5:]) == list("abcde")
+
+
+def test_disparity_depth_mode(tmp_path):
+    """kinect_disparity decoding recovers metric depth from raw disparity
+    (ConvertDisparityToDepth parity: depth = 8*c2*fx/(c1 - raw))."""
+    import cv2
+
+    from gps_slam_tpu.data.reader import disparity_to_depth
+
+    out = str(tmp_path / "scene")
+    reader_node = synthetic.write_dataset(out, n_frames=2, width=80, height=60)
+    cfg0 = Config.from_dict(synthetic.default_config_dict(out, reader_node))
+    r0 = DatasetReader(cfg0.reader)
+    r0.read()
+    ref = [c.depth.copy() for c in r0.train_vec]
+    fx = cfg0.reader.intrinsics[0]
+    # c2 large enough that u16 disparity quantization stays sub-mm over
+    # the scene's 1-2 m depth range (err ~ depth^2/(8*c2*fx) * 0.5)
+    c1, c2 = 40000.0, 8.0
+    # re-encode every depth png as raw disparity
+    import os
+
+    ddir = os.path.join(out, reader_node["depth_path"])
+    for f in sorted(os.listdir(ddir)):
+        p = os.path.join(ddir, f)
+        raw16 = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+        depth = raw16.astype(np.float64) / cfg0.reader.depth_scale
+        with np.errstate(divide="ignore"):
+            disp = np.where(depth > 0, c1 - 8.0 * c2 * fx / np.maximum(depth, 1e-9), 0)
+        cv2.imwrite(p, np.clip(disp, 0, 65535).astype(np.uint16))
+
+    node = dict(reader_node)
+    node["depth_mode"] = "kinect_disparity"
+    node["disparity_calib"] = [c1, c2]
+    cfg = Config.from_dict(synthetic.default_config_dict(out, node))
+    assert cfg.reader.depth_mode == "kinect_disparity"
+    r1 = DatasetReader(cfg.reader)
+    r1.read()
+    for got, want in zip((c.depth for c in r1.train_vec), ref):
+        mask = want > 0.05
+        err = np.abs(got - want)[mask]
+        assert err.mean() < 5e-3, err.mean()  # disparity-quantization noise
