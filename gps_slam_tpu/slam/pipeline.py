@@ -37,6 +37,47 @@ from ..utils.camera import Camera
 from ..utils.se3 import compute_normal_map
 
 
+@jax.jit
+def _assemble_opt_batch(c2w, K, cam_id, gt_rgb, ref_depth, base_color):
+    """Stack the per-camera window tensors in ONE device program.
+
+    c2w/K/cam_id arrive pre-stacked (one small host->device upload each);
+    gt_rgb/ref_depth/base_color are tuples of M device-resident maps.
+    Assembling with eager jnp.stack/slice calls costs ~40 tiny dispatches
+    per window; over the axon tunnel every dispatch carries fixed
+    submission latency that adds up to milliseconds per frame."""
+    return {
+        "c2w": c2w,
+        "K": K,
+        "cam_id": cam_id,
+        "gt_rgb": jnp.stack(gt_rgb),
+        "ref_depth": jnp.stack([d[..., 0] for d in ref_depth]),
+        "base_color": jnp.stack(base_color),
+    }
+
+
+@jax.jit
+def _spawn_mask_bootstrap(depth, vertex, color, gt, vis_min, vis_max,
+                          color_thres):
+    """(mask, normal) for the gs==0 spawn branch, one device program."""
+    valid = ((depth > vis_min) & (depth < vis_max)
+             & (jnp.abs(vertex).sum(-1) > 0))
+    color_error = jnp.abs(color - gt).mean(-1)
+    return (color_error > color_thres) & valid, compute_normal_map(vertex)
+
+
+@jax.jit
+def _spawn_mask(depth, vertex, rgb_render, alpha, gt, vis_min, vis_max,
+                color_thres, alpha_max):
+    """(mask, normal) for the alpha-gated spawn branch
+    (initNewGaussians :450-526), one device program."""
+    valid = ((depth > vis_min) & (depth < vis_max)
+             & (jnp.abs(vertex).sum(-1) > 0))
+    color_error = jnp.abs(rgb_render - gt).mean(-1)
+    mask = (color_error > color_thres) & valid & (alpha < alpha_max)
+    return mask, compute_normal_map(vertex)
+
+
 class SLAMPipeline:
     def __init__(self, cfg: Config, tsdf_engine: TsdfEngine, workspace_dir: str,
                  is_train: bool = True):
@@ -304,22 +345,17 @@ class SLAMPipeline:
         color = raycast_maps["color_map"]
         gt, _ = self.frame_cache.get(cam)
 
-        valid_depth = (depth > p.depth_vis_min) & (depth < p.depth_vis_max)
-        valid_vertex = jnp.abs(vertex).sum(-1) > 0
-        valid = valid_depth & valid_vertex
-
         if model.num_gaussians_cached == 0:
-            color_error = jnp.abs(color - gt).mean(-1)
-            mask = (color_error > p.color_error_thres) & valid
+            mask, normal = _spawn_mask_bootstrap(
+                depth, vertex, color, gt, p.depth_vis_min, p.depth_vis_max,
+                p.color_error_thres,
+            )
         else:
             res = model.forward(cam.c2w_slam, cam.K, depth, color)
-            color_error = jnp.abs(res["rgb"] - gt).mean(-1)
-            mask = (
-                (color_error > p.color_error_thres)
-                & valid
-                & (res["alpha"] < p.alpha_vis_max)
+            mask, normal = _spawn_mask(
+                depth, vertex, res["rgb"], res["alpha"], gt, p.depth_vis_min,
+                p.depth_vis_max, p.color_error_thres, p.alpha_vis_max,
             )
-        normal = compute_normal_map(vertex)
         raycast_maps["normal_map"] = normal
         model.pool, n_added, n_overflow = gmodel.add_gaussians(
             model.pool, vertex, gt, normal, mask,
@@ -347,24 +383,24 @@ class SLAMPipeline:
         M = p.localframe_cam_window_length + p.keyframe_select_max
         idx_pad = [min(i, n_valid - 1) for i in range(M)]
 
-        def stack(get):
-            return jnp.stack([get(idx_pad[i]) for i in range(M)])
-
-        batch = {
-            "c2w": stack(lambda i: jnp.asarray(self.opt_cam_list[i].c2w_slam)),
-            "K": stack(lambda i: jnp.asarray(self.opt_cam_list[i].K)),
-            "gt_rgb": stack(lambda i: self.frame_cache.get(self.opt_cam_list[i])[0]),
-            "ref_depth": stack(lambda i: self.opt_raycast_list[i]["depth_map"][..., 0]),
-            "base_color": stack(lambda i: self.opt_raycast_list[i]["color_map"]),
-            "cam_id": jnp.asarray(
-                [self.opt_cam_list[i].id for i in idx_pad], jnp.int32
-            ),
-        }
+        # single-program batch assembly (see _assemble_opt_batch); pose/K
+        # cross host->device as one [M, 4, 4] / [M, 3, 3] upload each
+        batch = _assemble_opt_batch(
+            jnp.asarray(np.stack(
+                [self.opt_cam_list[i].c2w_slam for i in idx_pad])),
+            jnp.asarray(np.stack(
+                [self.opt_cam_list[i].K for i in idx_pad])),
+            jnp.asarray(np.asarray(
+                [self.opt_cam_list[i].id for i in idx_pad], np.int32)),
+            tuple(self.frame_cache.get(self.opt_cam_list[i])[0] for i in idx_pad),
+            tuple(self.opt_raycast_list[i]["depth_map"] for i in idx_pad),
+            tuple(self.opt_raycast_list[i]["color_map"] for i in idx_pad),
+        )
         if p.depth_weight > 0:
             def get_depth(i):
                 d = self.frame_cache.get(self.opt_cam_list[i])[1]
                 return d[..., 0] if d.ndim == 3 else d
-            batch["gt_depth"] = stack(get_depth)
+            batch["gt_depth"] = jnp.stack([get_depth(i) for i in idx_pad])
         iter_idx = jnp.asarray(
             self._rng.integers(0, n_valid, p.local_opt_iters), jnp.int32
         )

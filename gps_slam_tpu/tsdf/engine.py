@@ -83,6 +83,10 @@ class TsdfEngine:
             self.vol: TsdfVolume = create(self.params)
         self.width, self.height = int(width), int(height)
         self.K = np.asarray(K, dtype=np.float32)
+        # device-resident copy: K is re-used every frame (fusion) and every
+        # raycast — re-uploading a constant per call costs one tunnel
+        # transfer each time
+        self._K_dev = jnp.asarray(self.K)
         self.use_gt_pose = bool(t.use_gt_pose)
         self.tracking_active = not self.use_gt_pose
         self.gt_c2w_poses: list[np.ndarray] = []
@@ -229,12 +233,12 @@ class TsdfEngine:
                 from ..parallel import spatial
 
                 self.vol = spatial.fuse_frame_sharded(
-                    self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K),
+                    self.vol, d, c, jnp.asarray(pose), self._K_dev,
                     self.space_shards, False,
                 )
             else:
                 self.vol = integrate.fuse_frame(
-                    self.vol, d, c, jnp.asarray(pose), jnp.asarray(self.K),
+                    self.vol, d, c, jnp.asarray(pose), self._K_dev,
                     False, self._use_pallas_raycast(),
                     frame_idx=(jnp.asarray(i, jnp.int32)
                                if self.swap is not None else None),
@@ -284,7 +288,7 @@ class TsdfEngine:
         per-frame window raycasts refine k_blocks=1 candidate per pixel
         (costs ~0.4% of hits on the oracle scene, halves the kernel);
         eval renders keep k=2."""
-        K = jnp.asarray(self.K if K is None else K, dtype=jnp.float32)
+        K = self._K_dev if K is None else jnp.asarray(K, dtype=jnp.float32)
         width = width or self.width
         height = height or self.height
         p = self.vol.params
