@@ -14,7 +14,7 @@ the backward a plain transpose of the forward.
 TPU design:
   * Binning = visible-compaction -> (gaussian, tile-slot) pair expansion
     with a per-Gaussian tile cap -> one XLA sort by tile id ->
-    searchsorted offsets -> fixed-width per-tile lists.  All index work is
+    run-length tile starts -> fixed-width per-tile lists.  All index work is
     stop-gradient.
   * The per-tile accumulation is a dense masked computation:
     weights [tiles, 256 px, L] (VPU: exp + masks) contracted against
@@ -87,7 +87,7 @@ def _bin_pairs(
     margin_px: float = 0.0,
 ):
     """Shared (gaussian, tile) pair expansion + sort.  Returns
-    (keys_s, gids_s, counts, offsets, n_pairs, n_span_overflow).
+    (keys_s, gids_s, counts, tile_start, n_pairs, n_span_overflow).
 
     `margin_px` inflates every radius at binning time only — used when one
     binning is reused across several optimization iterations (the Gaussians
@@ -133,11 +133,25 @@ def _bin_pairs(
     # core at ~50 ms per 4.7M elements in the round-3 trace)
     keys_s, gids_s = jax.lax.sort((keys, vals), num_keys=1, is_stable=True)
 
-    offsets = jnp.searchsorted(keys_s, jnp.arange(T + 1, dtype=jnp.int32))
-    counts = offsets[1:] - offsets[:-1]                         # [T]
+    # per-tile [start, count] from run-length boundaries: first-flag +
+    # two O(T) scatters.  jnp.searchsorted over the sorted pair keys
+    # lowers to a serial while loop on TPU — the same 57 ms/call class
+    # the segment-boundary path below already avoids
+    P_len = keys_s.shape[0]
+    firstk = jnp.concatenate(
+        [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
+    kstarts, = jnp.nonzero(firstk, size=T + 1, fill_value=P_len)
+    kstarts = kstarts.astype(jnp.int32)
+    ksval = jnp.where(
+        kstarts < P_len, keys_s[jnp.minimum(kstarts, P_len - 1)], T)
+    kends = jnp.concatenate([kstarts[1:], jnp.full((1,), P_len, jnp.int32)])
+    # padding tile_id == T scatters out of bounds -> dropped
+    counts = jnp.zeros(T, jnp.int32).at[ksval].set(
+        kends - kstarts, mode="drop")
+    tile_start = jnp.zeros(T, jnp.int32).at[ksval].set(kstarts, mode="drop")
     n_pairs = jnp.sum(pair_ok.astype(jnp.int32))
     n_span_overflow = jnp.sum(overflow.astype(jnp.int32))
-    return keys_s, gids_s, counts, offsets, n_pairs, n_span_overflow
+    return keys_s, gids_s, counts, tile_start, n_pairs, n_span_overflow
 
 
 def bin_gaussians(
@@ -152,12 +166,12 @@ def bin_gaussians(
 ) -> TileBins:
     """isectTilesNoDepth + isectOffsetEncodeNoDepth equivalent
     (isect_tiles_no_depth.cu:132-239, 373-425)."""
-    keys_s, gids_s, counts, offsets, n_pairs, n_span_overflow = _bin_pairs(
+    keys_s, gids_s, counts, tile_start, n_pairs, n_span_overflow = _bin_pairs(
         means2d, radii, tile_size, tile_w, tile_h, visible_cap,
         tiles_per_gaussian_cap,
     )
     l = jnp.arange(tile_cap, dtype=jnp.int32)
-    flat_idx = offsets[:-1, None] + l[None, :]                   # [T, L]
+    flat_idx = tile_start[:, None] + l[None, :]                  # [T, L]
     valid = l[None, :] < counts[:, None]
     gids_t = gids_s[jnp.clip(flat_idx, 0, keys_s.shape[0] - 1)]
 
@@ -181,14 +195,14 @@ def bin_gaussians_active(
     one Gaussian.  `active_cap` is the static bound on the number of active
     tiles; overflow is counted (dropped tiles render as base layer)."""
     T = tile_w * tile_h
-    keys_s, gids_s, counts, offsets, n_pairs, n_span_overflow = _bin_pairs(
+    keys_s, gids_s, counts, tile_start, n_pairs, n_span_overflow = _bin_pairs(
         means2d, radii, tile_size, tile_w, tile_h, visible_cap,
         tiles_per_gaussian_cap, margin_px,
     )
     active = counts > 0
     act_idx, = jnp.nonzero(active, size=active_cap, fill_value=T)
     asafe = jnp.where(act_idx < T, act_idx, 0)
-    a_off = offsets[:-1][asafe]
+    a_off = tile_start[asafe]
     a_cnt = jnp.where(act_idx < T, counts[asafe], 0)
     l = jnp.arange(tile_cap, dtype=jnp.int32)
     flat_idx = a_off[:, None] + l[None, :]                       # [A, L]

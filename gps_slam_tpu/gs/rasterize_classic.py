@@ -71,16 +71,28 @@ def bin_gaussians_depth(
     flat_tile = tile_id.reshape(-1)
     flat_d = jnp.broadcast_to(dbits[:, None], tile_id.shape).reshape(-1)
     gid = jnp.broadcast_to(vsafe[:, None], tile_id.shape).reshape(-1)
-    o1 = jnp.argsort(flat_d)
-    o2 = jnp.argsort(flat_tile[o1], stable=True)
-    order = o1[o2]
-    keys_s = flat_tile[order]
-    gids_s = gid[order]
+    # payload-carrying stable sorts (no argsort + permutation gathers):
+    # by depth first, then stably by tile id
+    d1, t1, g1 = jax.lax.sort(
+        (flat_d, flat_tile, gid), num_keys=1, is_stable=True)
+    keys_s, _, gids_s = jax.lax.sort(
+        (t1, d1, g1), num_keys=1, is_stable=True)
 
-    offsets = jnp.searchsorted(keys_s, jnp.arange(T + 1, dtype=jnp.int32))
-    counts = offsets[1:] - offsets[:-1]
+    # per-tile [start, count] via run-length boundaries (searchsorted
+    # lowers to a serial while loop on TPU; see rasterize._bin_pairs)
+    P_len = keys_s.shape[0]
+    firstk = jnp.concatenate(
+        [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
+    kstarts, = jnp.nonzero(firstk, size=T + 1, fill_value=P_len)
+    kstarts = kstarts.astype(jnp.int32)
+    ksval = jnp.where(
+        kstarts < P_len, keys_s[jnp.minimum(kstarts, P_len - 1)], T)
+    kends = jnp.concatenate([kstarts[1:], jnp.full((1,), P_len, jnp.int32)])
+    counts = jnp.zeros(T, jnp.int32).at[ksval].set(
+        kends - kstarts, mode="drop")
+    tile_start = jnp.zeros(T, jnp.int32).at[ksval].set(kstarts, mode="drop")
     l = jnp.arange(tile_cap, dtype=jnp.int32)
-    flat_idx = offsets[:-1, None] + l[None, :]
+    flat_idx = tile_start[:, None] + l[None, :]
     valid = l[None, :] < counts[:, None]
     gids_t = gids_s[jnp.clip(flat_idx, 0, keys_s.shape[0] - 1)]
     return TileBins(
