@@ -94,3 +94,46 @@ def test_mc_vs_mt_surface_agreement():
     print(f"[MC-vs-MT] precision={prec:.4f} recall={rec:.4f} F1={f1:.4f} "
           f"(thr = 1 voxel), tris mt={v_mt.shape[0]//3} mc={v_mc.shape[0]//3}")
     assert f1 > 0.99, (prec, rec)
+
+
+def test_mc_table_watertight_oriented():
+    """The topology-derived MC table must produce a closed, consistently
+    wound, outward-oriented surface on a sphere SDF: every directed edge
+    matched by its reverse, signed volume ~ analytic volume."""
+    import itertools
+
+    from gps_slam_tpu.tsdf import meshing as M
+
+    t = M._MC_TRI.reshape(256, -1, 3)
+    ntri = (t[:, :, 0] >= 0).sum(1)
+    assert int(ntri.max()) <= 5  # standard MC never needs more
+    assert int((ntri[1:255] == 0).sum()) == 0  # every mixed case meshes
+
+    N = 20
+    xs = np.arange(N) - N / 2 + 0.5
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    sdf = np.linalg.norm(g, axis=-1) - 7.0
+    corners = M._CUBE_CORNERS
+    cellv, bases = [], []
+    for i, j, k in itertools.product(range(N - 1), repeat=3):
+        cellv.append([sdf[i + c[0], j + c[1], k + c[2]] for c in corners])
+        bases.append([i, j, k])
+    vals = np.array(cellv)
+    base = np.array(bases, np.float64)
+    v, _ = M._mesh_cells_mc(vals, np.zeros((vals.shape[0], 8, 3)), base)
+    tris = v.reshape(-1, 3, 3)
+    assert len(tris) > 100
+
+    vol = np.sum(np.einsum("ij,ij->i", tris[:, 0],
+                           np.cross(tris[:, 1], tris[:, 2]))) / 6.0
+    expect = 4.0 / 3.0 * np.pi * 7.0 ** 3
+    assert abs(vol - expect) / expect < 0.02, (vol, expect)
+
+    from collections import Counter
+
+    cnt = Counter()
+    for t3 in tris:
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            cnt[(tuple(np.round(t3[a], 4)), tuple(np.round(t3[b], 4)))] += 1
+    bad = sum(1 for k2, n in cnt.items() if cnt.get((k2[1], k2[0]), 0) != n)
+    assert bad == 0, f"{bad} unmatched directed edges of {len(cnt)}"
