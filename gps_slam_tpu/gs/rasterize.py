@@ -414,6 +414,34 @@ def _ges_splat_bwd(static, res, v_out):
 _ges_splat.defvjp(_ges_splat_fwd, _ges_splat_bwd)
 
 
+@jax.custom_vjp
+def _place_tiles(out, inv, tiles):
+    """[A_pad, P, K] active-tile rows -> [T, P, K] full grid.
+
+    `inv[t]` is the active slot covering tile t, or A_pad (a zero row).
+    Forward and backward are both contiguous row gathers: active tile ids
+    are unique, so the scatter this replaces transposes to exactly the
+    gather the backward performs."""
+    padded = jnp.concatenate(
+        [out, jnp.zeros((1, *out.shape[1:]), out.dtype)], 0)
+    return padded[inv]
+
+
+def _place_tiles_fwd(out, inv, tiles):
+    return _place_tiles(out, inv, tiles), (tiles, out.shape[0])
+
+
+def _place_tiles_bwd(res, ct):
+    tiles, A_pad = res
+    T = ct.shape[0]
+    tsafe = jnp.where(tiles < T, tiles, 0)
+    v_out = jnp.where((tiles < T)[:, None, None], ct[tsafe], 0.0)
+    return v_out, None, None
+
+
+_place_tiles.defvjp(_place_tiles_fwd, _place_tiles_bwd)
+
+
 def ges_rasterize_active(
     means2d: jax.Array,     # [N, 2] (differentiable)
     conics: jax.Array,      # [N, 3]
@@ -487,8 +515,13 @@ def ges_rasterize_active(
         bins.pair_order, bins.seg_lo, bins.seg_hi,
     )
 
-    # scatter into the full tile grid (padding rows target tile T -> drop)
-    full = jnp.zeros((T, P, C + 1), out.dtype).at[tiles].set(out, mode="drop")
+    # place active-tile rows into the full [T, P, C+1] grid as a GATHER
+    # through the inverse tile map (custom VJP: the backward is the row
+    # gather at `tiles` — a plain jnp scatter here would put a scalar-core
+    # scatter + its transpose machinery inside every optimizer iteration)
+    inv = jnp.full((T,), A_pad, jnp.int32).at[tiles].set(
+        jnp.arange(A_pad, dtype=jnp.int32), mode="drop")
+    full = _place_tiles(out, inv, tiles)
     img = (
         full.reshape(tile_h, tile_w, tile_size, tile_size, C + 1)
         .transpose(0, 2, 1, 3, 4)
