@@ -7,9 +7,11 @@ Differences from the reference, and why:
     with allocation serialized through a single-threaded kernel
     (ITMSceneReconstructionEngine_CUDA.tcu:406).  Linked lists and
     serialized allocation are hostile to XLA; we use one flat
-    power-of-two table with bounded linear probing instead.  Lookup is a
-    fixed unrolled sequence of gathers (SPMD-friendly, no data-dependent
-    trip counts); insertion is a bounded sequence of scatter+re-gather
+    power-of-two table probed as ALIGNED max_probes-slot buckets — the
+    TPU cousin of the reference's bucket array, without the excess list:
+    the whole probe window is one contiguous row gather.  Lookup is a
+    single row gather + vector compare (SPMD-friendly, no data-dependent
+    trip counts); insertion is a bounded sequence of claim
     rounds whose races are *benign by construction* (all writers racing on
     a slot either carry the same key and agree, or the loser retries at
     the next probe / next frame — exactly the benign-miss semantics
@@ -77,21 +79,23 @@ def lookup(
 ) -> jax.Array:
     """Vectorized probe: returns the block-pool index for each query, or -1.
 
-    A fixed, unrolled sequence of `max_probes` gathers — every lane pays the
-    worst case, so keep the load factor low (the defaults put ~2^17 blocks in
-    a 2^21 table => first-probe hit rate > 90%).
+    Probing is over the ALIGNED `max_probes`-slot bucket containing the
+    hash (slots `(h & ~(mp-1)) .. +mp-1`), so the whole probe window is
+    ONE contiguous row gather of the [H/mp, mp]-reshaped table.  The old
+    linear chain `(h+r) & (H-1)` needed `max_probes` separate element
+    gathers — scalar-core work that the round-3 trace showed dominating
+    fuse_frame (~1.5 ms per [32k] element gather vs DMA-speed rows).
+    Bucket capacity is mp keys; with the default 2^17 blocks in a 2^21
+    table (load 1/16, Poisson per-bucket mean 0.5) a 9-deep bucket has
+    ~1e-9 probability — the same benign-miss class the linear chain had.
     """
     H = table_keys.shape[0]
-    h0 = hash_packed(packed, H)
-    ptr = jnp.full(packed.shape, -1, dtype=jnp.int32)
-    # no early-out on EMPTY slots: the probe loop is unrolled and every
-    # gather executes regardless, and skipping the check makes lookups
-    # tolerant of probe-chain holes left by pool-overflow un-insertions
-    for r in range(max_probes):
-        slot = (h0 + r) & (H - 1)
-        match = table_keys[slot] == packed
-        ptr = jnp.where(match, table_ptrs[slot], ptr)
-    return ptr
+    mp = max_probes
+    row = hash_packed(packed, H) // mp
+    keys_r = table_keys.reshape(H // mp, mp)[row]   # [..., mp] row gather
+    ptrs_r = table_ptrs.reshape(H // mp, mp)[row]
+    match = keys_r == packed[..., None]
+    return jnp.max(jnp.where(match, ptrs_r, -1), axis=-1)
 
 
 def dedup_candidates(packed: jax.Array, cap: int) -> jax.Array:
@@ -120,43 +124,56 @@ def insert(
     packed: jax.Array,       # uint32 [M] candidate keys (may contain EMPTY = skip)
     max_probes: int,
     block_capacity: int,
+    claim_rounds: int | None = None,
 ):
     """Insert candidate keys; allocate pool slots for the newly inserted.
 
     Returns (table_keys, table_ptrs, n_blocks, block_coords).
 
-    Race discipline: each round scatters unresolved candidates into the
-    current probe slot *only where it is EMPTY*, then re-reads.  When two
-    different keys race for one slot, the scatter picks one winner
-    deterministically (XLA scatter semantics); the loser simply probes on.
-    Duplicate candidates with the same key collapse automatically.
-    Candidates still unresolved after `max_probes` rounds are dropped for
-    this frame — the same benign-miss the reference accepts
-    (ITMSceneReconstructionEngine_Shared.h:207-323 drops on hash-collision
-    within a frame too).
+    Race discipline: each round scatters unresolved candidates onto their
+    bucket's first EMPTY slot; the next round's bucket re-read decides the
+    winner (XLA scatter picks one deterministically), and losers retry on
+    the next empty slot.  Duplicate candidates with the same key collapse
+    automatically.  Candidates unresolved after the claim rounds (or in a
+    full bucket) are dropped for this frame — the same benign-miss the
+    reference accepts (ITMSceneReconstructionEngine_Shared.h:207-323 drops
+    on hash-collision within a frame too).
     """
     H = table_keys.shape[0]
     M = packed.shape[0]
+    mp = max_probes
     valid = packed != EMPTY
-    h0 = hash_packed(packed, H)
+    row = hash_packed(packed, H) // mp
+    base = (row * mp).astype(jnp.int32)
     resolved = ~valid
     my_slot = jnp.full((M,), H, jnp.int32)   # resolved candidates' slot
-    for r in range(max_probes):
-        slot = (h0 + r) & (H - 1)
-        keys = table_keys[slot]
-        hit = (~resolved) & (keys == packed)
-        my_slot = jnp.where(hit, slot, my_slot)
+    # bucketized claim rounds: each round is one [M, mp] bucket row gather
+    # (contiguous — see lookup) + one element scatter; the NEXT round's
+    # gather doubles as the race check (a claim winner sees its own key as
+    # a hit, a loser sees the winner's key and retries on the next empty
+    # slot).  A round is lost only to a DIFFERENT new key claiming the
+    # same empty slot of the same bucket; pileups deeper than the round
+    # count are dropped for the frame (benign-miss, re-candidates next
+    # frame).  Default = mp rounds (resolves a full bucket — bulk inserts
+    # like scene load / swap rebuild need it); the incremental per-frame
+    # path passes claim_rounds=4, beyond Poisson reality at 1/16 load.
+    rounds = min(mp, mp if claim_rounds is None else claim_rounds)
+    for r in range(rounds + 1):
+        keys = table_keys.reshape(H // mp, mp)[row]          # [M, mp]
+        hitl = keys == packed[:, None]
+        hit = (~resolved) & jnp.any(hitl, axis=-1)
+        hit_slot = base + jnp.argmax(hitl, axis=-1).astype(jnp.int32)
+        my_slot = jnp.where(hit, hit_slot, my_slot)
         resolved = resolved | hit
-        # try to claim empty slots for unresolved candidates
-        want = (~resolved) & (keys == EMPTY)
-        # scatter: losers of intra-round races are detected by re-reading
-        table_keys = table_keys.at[jnp.where(want, slot, H)].set(
+        if r == rounds:
+            break
+        # claim the first empty slot of the bucket
+        emptyl = keys == EMPTY
+        e_slot = base + jnp.argmax(emptyl, axis=-1).astype(jnp.int32)
+        want = (~resolved) & jnp.any(emptyl, axis=-1)
+        table_keys = table_keys.at[jnp.where(want, e_slot, H)].set(
             packed, mode="drop"
         )
-        keys2 = table_keys[slot]
-        won = (~resolved) & (keys2 == packed)
-        my_slot = jnp.where(won, slot, my_slot)
-        resolved = resolved | won
 
     # allocate pool pointers for newly-claimed slots.  All bookkeeping
     # runs on the [M]-sized candidate arrays, never the [H]-sized table

@@ -373,6 +373,11 @@ def fuse_frame(
     tk, tp, nb, bc = vhash.insert(
         vol.table_keys, vol.table_ptrs, vol.n_blocks, vol.block_coords,
         cand, p.max_probes, p.block_capacity,
+        # incremental per-frame inserts: >4-deep same-bucket NEW-key
+        # pileups are vanishing at 1/16 load, and a dropped candidate
+        # re-candidates next frame; each extra round costs an O(M)
+        # scalar-core scatter
+        claim_rounds=4,
     )
     vol = vol.replace(table_keys=tk, table_ptrs=tp, n_blocks=nb, block_coords=bc)
 

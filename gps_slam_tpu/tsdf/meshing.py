@@ -210,9 +210,11 @@ class _HostHash:
         z = ((packed >> (2 * vhash.COORD_BITS)) & vhash.COORD_MASK).astype(np.int64) - vhash.COORD_OFFSET
         h = ((x * 73856093) ^ (y * 19349669) ^ (z * 83492791)).astype(np.int64)
         h = (h & (self.size - 1)).astype(np.int64)
+        # aligned-bucket probe (must mirror hash.lookup)
+        base = h & ~np.int64(self.max_probes - 1)
         ptr = np.full(packed.shape, -1, dtype=np.int32)
         for r in range(self.max_probes):
-            slot = (h + r) & (self.size - 1)
+            slot = base + r
             match = self.keys[slot] == packed
             ptr = np.where(match, self.ptrs[slot], ptr)
         return ptr

@@ -79,8 +79,10 @@ struct HostHash {
         uint32_t key = pack(bx, by, bz);
         int64_t h = ((int64_t)bx * 73856093 ^ (int64_t)by * 19349669 ^
                      (int64_t)bz * 83492791) & (size - 1);
+        // aligned-bucket probe (must mirror gps_slam_tpu/tsdf/hash.py)
+        int64_t base = h & ~(int64_t)(max_probes - 1);
         for (int r = 0; r < max_probes; ++r) {
-            int64_t slot = (h + r) & (size - 1);
+            int64_t slot = base + r;
             if (keys[slot] == key) return ptrs[slot];
         }
         return -1;
