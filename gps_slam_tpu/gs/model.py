@@ -49,6 +49,10 @@ class RenderStatics(NamedTuple):
     radius_clip: float = 0.0
     active_tile_cap: int = 2048   # static bound on Gaussian-occupied tiles
     bin_margin_px: float = 2.0    # radius inflation when bins are reused
+    # tile-splat implementation: "xla" (scanned einsums — CPU path + test
+    # oracle), "pallas" (in-VMEM Mosaic kernels, gs/splat_pallas.py), or
+    # "pallas_interpret" (kernel semantics on CPU, for tests)
+    splat_impl: str = "xla"
 
 
 def _project_and_colors(params, alive, c2w, K, st, active_sh_degree=None):
@@ -129,7 +133,7 @@ def ges_forward(
         proj.means2d, proj.conics, colors4,
         jax.nn.sigmoid(params["opacities"][:, 0]),
         bins, ref_clamped, proj.depths, st.delta_depth,
-        st.width, st.height, st.tile_size,
+        st.width, st.height, st.tile_size, impl=st.splat_impl,
     )
 
     # SDF base-layer blend (:317-326)
@@ -432,7 +436,16 @@ class GaussianModel:
         m = cfg.model
         self.cfg = cfg
         self.pool = pmod.create(cfg.tpu.gaussian_capacity, m.sh_degree, exposure_num)
+        # splat kernel dispatch by where the pool actually lives — NOT
+        # jax.default_backend() (the axon plugin answers 'tpu' even when
+        # CPU is pinned); mirrors TsdfEngine._use_pallas_raycast
+        try:
+            on_tpu = next(
+                iter(self.pool.params["means"].devices())).platform == "tpu"
+        except Exception:
+            on_tpu = False
         self.statics = RenderStatics(
+            splat_impl="pallas" if on_tpu else "xla",
             width=width, height=height, sh_degree=m.sh_degree,
             tile_size=cfg.tpu.tile_size, max_gs_radii=m.max_gs_radii,
             delta_depth=m.delta_depth, use_exposure=m.use_exposure,

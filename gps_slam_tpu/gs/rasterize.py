@@ -288,22 +288,30 @@ def _pair_terms(g, vld, ref_t, px_t, py_t, C, delta_depth):
 
 def _splat_fwd_impl(static, means2d, conics, colors, opacities, gauss_depth,
                     gids, valid, ref_tiles, px, py):
-    """Tile-space weighted sums -> [A_pad, P, C+1]."""
-    delta_depth, chunk = static
+    """Tile-space weighted sums -> [A_pad, C+1, P] (channel-major: the
+    256-pixel tile stays in the lane dimension everywhere)."""
+    delta_depth, chunk, impl = static
     C = colors.shape[1]
     A_pad = gids.shape[0]
     P = px.shape[1]
-    n_chunks = A_pad // chunk
     packed = _pack_attrs(means2d, conics, colors, gauss_depth, opacities)
+    if impl != "xla":
+        from . import splat_pallas
+
+        return splat_pallas.splat_fwd(
+            packed, valid, gids, px, py, ref_tiles, delta_depth, C,
+            impl == "pallas_interpret",
+        )
+    n_chunks = A_pad // chunk
 
     def body(carry, xs):
         gid, vld, ref_t, px_t, py_t = xs
         g = packed[gid]                      # [chunk, L, 16] row gather
         w, ce, *_ = _pair_terms(g, vld, ref_t, px_t, py_t, C, delta_depth)
         out = jnp.einsum(
-            "clp,clk->cpk", w.astype(jnp.bfloat16), ce.astype(jnp.bfloat16),
+            "clp,clk->ckp", w.astype(jnp.bfloat16), ce.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
-        )                                           # [chunk, P, C+1]
+        )                                           # [chunk, C+1, P]
         return carry, out
 
     xs = tuple(
@@ -311,7 +319,7 @@ def _splat_fwd_impl(static, means2d, conics, colors, opacities, gauss_depth,
         for x in (gids, valid, ref_tiles, px, py)
     )
     _, outs = jax.lax.scan(body, None, xs)
-    return outs.reshape(A_pad, P, C + 1)
+    return outs.reshape(A_pad, C + 1, P)
 
 
 from functools import partial as _partial
@@ -345,27 +353,37 @@ def _ges_splat_bwd(static, res, v_out):
     * v_out, v_alpha = ce . v_out, v_sigma = -alpha * v_alpha, conic/xy
     chain rule; no gradient flows through the depth cut or the 0.999
     clamp, exactly like the reference."""
-    delta_depth, chunk = static
+    delta_depth, chunk, impl = static
     (means2d, conics, colors, opacities, gauss_depth,
      gids, valid, ref_tiles, px, py, pair_order, seg_lo, seg_hi) = res
     C = colors.shape[1]
     N = means2d.shape[0]
     A_pad, L = gids.shape
-    n_chunks = A_pad // chunk
+    K = 6 + C
     packed = _pack_attrs(means2d, conics, colors, gauss_depth, opacities)
+    if impl != "xla":
+        from . import splat_pallas
+
+        contribs = splat_pallas.splat_bwd(
+            packed, valid, gids, px, py, ref_tiles, v_out, delta_depth, C,
+            impl == "pallas_interpret",
+        )[..., :K]
+        return _segment_to_grads(contribs, pair_order, seg_lo, seg_hi,
+                                 A_pad, L, N, C)
+    n_chunks = A_pad // chunk
 
     def body(carry, xs):
-        gid, vld, ref_t, px_t, py_t, v_o = xs    # v_o: [chunk, P, C+1]
+        gid, vld, ref_t, px_t, py_t, v_o = xs    # v_o: [chunk, C+1, P]
         g = packed[gid]
         w, ce, dx, dy, e, raw_alpha, keep, cn, op = _pair_terms(
             g, vld, ref_t, px_t, py_t, C, delta_depth)
         # d out / d ce = w  ->  v_ce [chunk, L, C+1]
         v_ce = jnp.einsum(
-            "clp,cpk->clk", w.astype(jnp.bfloat16), v_o.astype(jnp.bfloat16),
+            "clp,ckp->clk", w.astype(jnp.bfloat16), v_o.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
         # d out / d w = ce  ->  v_w [chunk, L, P]
         v_w = jnp.einsum(
-            "cpk,clk->clp", v_o.astype(jnp.bfloat16), ce.astype(jnp.bfloat16),
+            "ckp,clk->clp", v_o.astype(jnp.bfloat16), ce.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
         live = keep & (raw_alpha < 0.999)        # clamp + cut gate
         dalpha = jnp.where(live, v_w, 0.0)
@@ -388,12 +406,19 @@ def _ges_splat_bwd(static, res, v_out):
         for x in (gids, valid, ref_tiles, px, py, v_out)
     )
     _, contribs = jax.lax.scan(body, None, xs)
+    return _segment_to_grads(contribs, pair_order, seg_lo, seg_hi,
+                             A_pad, L, N, C)
+
+
+def _segment_to_grads(contribs, pair_order, seg_lo, seg_hi, A_pad, L, N, C):
+    """Per-pair contributions [*, L, 6+C] -> per-gaussian grads.
+
+    Segment-sum via the binning's PRECOMPUTED pair order (loop-invariant
+    across the window's iterations).  pair_order covers the unpadded A*L
+    pairs; padding rows contribute exact zeros and sit at the tail, so
+    appending them in place keeps every gaussian's [lo, hi) range valid."""
     K = 6 + C
     flat = contribs.reshape(A_pad * L, K)
-    # segment-sum via the binning's PRECOMPUTED pair order (loop-invariant
-    # across the window's iterations).  pair_order covers the unpadded A*L
-    # pairs; padding rows contribute exact zeros and sit at the tail, so
-    # appending them in place keeps every gaussian's [lo, hi) range valid.
     AL = pair_order.shape[0]
     order = (pair_order if AL == A_pad * L else jnp.concatenate(
         [pair_order, jnp.arange(AL, A_pad * L, dtype=pair_order.dtype)]))
@@ -455,6 +480,7 @@ def ges_rasterize_active(
     height: int,
     tile_size: int = 16,
     chunk: int = 64,
+    impl: str = "xla",
 ):
     """Active-tile GES weighted sums; identical math to ges_rasterize but
     the per-tile contraction runs only over bins.tiles.  Inactive tiles
@@ -507,15 +533,15 @@ def ges_rasterize_active(
     py = ty[:, None] + (pp // tile_size)[None, :] + 0.5
 
     out = _ges_splat(
-        (float(delta_depth), int(chunk)),
+        (float(delta_depth), int(chunk), str(impl)),
         means2d, conics, colors, opacities, gauss_depth,
         gids, jax.lax.stop_gradient(valid),
         jax.lax.stop_gradient(ref_tiles),
         jax.lax.stop_gradient(px), jax.lax.stop_gradient(py),
         bins.pair_order, bins.seg_lo, bins.seg_hi,
-    )
+    )                                             # [A_pad, C+1, P]
 
-    # place active-tile rows into the full [T, P, C+1] grid as a GATHER
+    # place active-tile rows into the full [T, C+1, P] grid as a GATHER
     # through the inverse tile map (custom VJP: the backward is the row
     # gather at `tiles` — a plain jnp scatter here would put a scalar-core
     # scatter + its transpose machinery inside every optimizer iteration)
@@ -523,8 +549,8 @@ def ges_rasterize_active(
         jnp.arange(A_pad, dtype=jnp.int32), mode="drop")
     full = _place_tiles(out, inv, tiles)
     img = (
-        full.reshape(tile_h, tile_w, tile_size, tile_size, C + 1)
-        .transpose(0, 2, 1, 3, 4)
+        full.reshape(tile_h, tile_w, C + 1, tile_size, tile_size)
+        .transpose(0, 3, 1, 4, 2)
         .reshape(tile_h * tile_size, tile_w * tile_size, C + 1)
     )[:height, :width]
     return img[..., :C], img[..., C]

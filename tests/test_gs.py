@@ -351,3 +351,51 @@ def test_pool_compact_preserves_rows(rng):
     np.testing.assert_allclose(
         np.asarray(pool_c.means[: n - 3]), np.asarray(pool.means)[keep]
     )
+
+
+def test_splat_pallas_interpret_matches_xla(rng):
+    """The Mosaic splat kernels (gs/splat_pallas.py, interpret mode) must
+    match the dense f32 autodiff oracle in forward values AND gradients —
+    the gate that lets the TPU path dispatch to impl='pallas'.  (The XLA
+    scan path contracts in bf16, so the oracle, not it, is the yardstick:
+    the kernel is f32 end-to-end.)"""
+    H, W = 32, 32
+    n = 8
+    means2d0 = np.stack(
+        [rng.uniform(4, W - 4, n), rng.uniform(4, H - 4, n)], -1
+    ).astype(np.float32)
+    conics0 = np.tile(np.array([0.25, 0.02, 0.3], np.float32), (n, 1))
+    colors0 = rng.uniform(0.2, 0.8, (n, 4)).astype(np.float32)
+    opac0 = rng.uniform(0.3, 0.9, n).astype(np.float32)
+    depths = jnp.asarray(rng.uniform(0.5, 1.5, n).astype(np.float32))
+    radii = jnp.full((n,), 24, jnp.int32)  # large: every tile covered
+    ref = jnp.full((H, W), 1000.0)
+    tw, th = 2, 2
+    target = jnp.asarray(rng.uniform(0, 1, (H, W, 4)).astype(np.float32))
+    act = rasterize.bin_gaussians_active(
+        jnp.asarray(means2d0), radii, 16, tw, th, 32, 16, 32,
+        active_cap=tw * th)
+
+    def loss_pallas(m2d, cn, col, op):
+        out, wsum = rasterize.ges_rasterize_active(
+            m2d, cn, col, op, act, ref, depths, 0.1, W, H, 16,
+            impl="pallas_interpret")
+        return jnp.sum((out - target) ** 2) + 0.3 * jnp.sum(wsum)
+
+    def loss_dense(m2d, cn, col, op):
+        out, wsum = _dense_jnp_render(m2d, cn, col, op, depths, ref, 0.1, H, W)
+        return jnp.sum((out - target) ** 2) + 0.3 * jnp.sum(wsum)
+
+    args = tuple(jnp.asarray(a) for a in (means2d0, conics0, colors0, opac0))
+    out_p, ws_p = rasterize.ges_rasterize_active(
+        *args, act, ref, depths, 0.1, W, H, 16, impl="pallas_interpret")
+    out_d, ws_d = _dense_jnp_render(*args, depths, ref, 0.1, H, W)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ws_p), np.asarray(ws_d),
+                               rtol=2e-4, atol=1e-4)
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(*args)
+    g_d = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(*args)
+    for gp, gd in zip(g_p, g_d):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gd),
+                                   rtol=2e-4, atol=1e-4)
