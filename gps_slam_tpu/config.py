@@ -308,6 +308,12 @@ class TpuConfig:
     # spatial sharding of the voxel pools across a device mesh
     # (parallel/spatial.py); 1 = single-volume path
     space_shards: int = 1
+    # frames fused per device dispatch (lax.scan chunk) when poses are
+    # known ahead (gt-pose / recon mode).  Amortizes the per-dispatch
+    # host<->device control cost — dominant on high-latency links; 1 =
+    # per-frame dispatch (always used while tracking: the pose of frame
+    # i+1 depends on frame i's raycast)
+    fuse_chunk: int = 8
     # surface extraction: "mt" (marching tetrahedra) or "mc" (classic
     # 256-case marching cubes — reference-topology mode,
     # ITMMeshingEngine_Shared.h; table derived in tsdf/meshing.py)

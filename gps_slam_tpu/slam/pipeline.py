@@ -160,6 +160,26 @@ class SLAMPipeline:
         samples.sort()
         return samples[len(samples) // 2]
 
+    def _fusion_groups(self, total: int, p, can_chunk: bool, chunk_n: int):
+        """Partition frame indices into fusion-dispatch groups.  A group
+        never crosses an optimization-boundary frame (i % interval == 0,
+        i > 0): the boundary frame's spawn/optimize phases must observe
+        exactly the frames fused so far, so it terminates its group."""
+        i = 0
+        while i < total:
+            if not can_chunk:
+                yield [i]
+                i += 1
+                continue
+            group = []
+            for j in range(i, min(i + chunk_n, total)):
+                group.append(j)
+                if (self.cfg.work_mode != "recon" and j > 0
+                        and j % p.local_opt_interval == 0):
+                    break
+            yield group
+            i = group[-1] + 1
+
     def slam_train_cams(self, model: GaussianModel, cams: list[Camera]) -> None:
         """SLAMTrainCams (slam_pipeline.cpp:52-173)."""
         p = self.pipe
@@ -171,29 +191,48 @@ class SLAMPipeline:
         # seed the async live-count cache (nonzero when a loaded model
         # resumes; the windowed loop keeps it fresh from here on)
         model.refresh_count_async()
+        # chunked fusion: in gt-pose / recon mode the per-frame loop's
+        # dispatch + control round trips dominate over a high-latency
+        # link; groups of fuse_chunk frames run as ONE device program
+        # (integrate.fuse_frames_scan).  Honest-timing mode stays
+        # per-frame — its contract is per-phase sync brackets.
+        chunk_n = max(int(getattr(self.cfg.tpu, "fuse_chunk", 1)), 1)
+        can_chunk = (
+            not sync and chunk_n > 1 and self.engine.can_chunk_fusion()
+        )
         t_start = time.monotonic()
-        for i, cam in enumerate(cams):
+        for group in self._fusion_groups(total, p, can_chunk, chunk_n):
             t0 = time.monotonic()
-            self.curr_frame_id = i
-            rgb_dev, depth_dev = self.frame_cache.get(cam)
-            pose = self.engine.process_frame(rgb_dev, depth_dev)
+            i = group[-1]
+            if len(group) == 1 and not can_chunk:
+                cam = cams[i]
+                rgb_dev, depth_dev = self.frame_cache.get(cam)
+                poses = [self.engine.process_frame(rgb_dev, depth_dev)]
+            else:
+                frames = [self.frame_cache.get(cams[k]) for k in group]
+                poses = self.engine.process_frames_gt(frames)
             # issue the next frames' host->device uploads now so the (slow)
-            # link overlaps this frame's fusion compute
-            for ahead in range(1, 3):
+            # link overlaps this group's fusion compute
+            for ahead in range(1, len(group) + 2):
                 if i + ahead < total:
                     self.frame_cache.get(cams[i + ahead])
             if sync:
                 int(jnp.sum(self.engine.vol.n_blocks))  # [S] when sharded
             else:
                 jax.block_until_ready(self.engine.vol.n_blocks)
-            cam.c2w_slam = np.asarray(pose)
-            # cam.id is a global read index over train+val; cam_poses only
-            # accumulates PROCESSED (train) frames — record the mapping so
-            # run_raycast_by_cam picks the right recorded pose when
-            # test_split_interval > 0 (slam_pipeline.cpp keys by frame id)
-            self._pose_idx[cam.id] = len(self.engine.cam_poses) - 1
-            self.curr_cam = cam
-            self.update_frame_list()
+            base = len(self.engine.cam_poses) - len(group)
+            for k, idx in enumerate(group):
+                cam = cams[idx]
+                self.curr_frame_id = idx
+                cam.c2w_slam = np.asarray(poses[k])
+                # cam.id is a global read index over train+val; cam_poses
+                # only accumulates PROCESSED (train) frames — record the
+                # mapping so run_raycast_by_cam picks the right recorded
+                # pose when test_split_interval > 0 (slam_pipeline.cpp
+                # keys by frame id)
+                self._pose_idx[cam.id] = base + k
+                self.curr_cam = cam
+                self.update_frame_list()
             self.t_fusion += max((time.monotonic() - t0) * 1000.0 - rtt, 0.0)
 
             if self.cfg.work_mode == "recon":

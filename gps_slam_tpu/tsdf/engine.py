@@ -275,6 +275,64 @@ class TsdfEngine:
             self._last_raycast_for_tracking = self.run_raycast(self._last_pose)
         return self._last_pose
 
+    def can_chunk_fusion(self) -> bool:
+        """True when fusion may batch multiple frames into one device
+        program (integrate.fuse_frames_scan): every pose must be known up
+        front and no per-frame host-side engine hook may fire.  Tracking
+        (pose of frame i+1 needs frame i's raycast), swapping (sync
+        host<->device traffic between frames) and spatial sharding
+        (shard_map wrapper, parallel/spatial.py) all force per-frame
+        dispatch; the bilateral filter is fine (applied in-scan)."""
+        return (
+            not self.tracking_active
+            and bool(self.gt_c2w_poses)
+            and self.swap is None
+            and self.space_shards == 1
+        )
+
+    def process_frames_gt(self, frames: list[tuple[jax.Array, jax.Array]]
+                          ) -> list[np.ndarray]:
+        """Fuse a chunk of consecutive frames in ONE dispatch (gt-pose
+        mode; see can_chunk_fusion).  `frames` = [(rgb f32 [H,W,3], depth
+        f32 [H,W])] device arrays, ordered.  Returns the per-frame poses
+        (host numpy — no device fetch: they are the gt inputs) and
+        records them exactly like per-frame process_frame."""
+        i0 = self.current_frame
+        n = len(frames)
+        poses = [
+            np.asarray(
+                self.gt_c2w_poses[min(i0 + k, len(self.gt_c2w_poses) - 1)],
+                dtype=np.float32)
+            for k in range(n)
+        ]
+        depths = jnp.stack(
+            [f[1][..., 0] if f[1].ndim == 3 else f[1] for f in frames])
+        rgbs = jnp.stack([f[0] for f in frames])
+        if self.use_bilateral_filter:
+            from ..utils.se3 import bilateral_filter_depth
+
+            depths = jax.vmap(bilateral_filter_depth)(depths)
+        self.vol = integrate.fuse_frames_scan(
+            self.vol, depths, rgbs, jnp.asarray(np.stack(poses)),
+            self._K_dev, False, self._use_pallas_raycast(),
+            pool_prefix=self._pool_prefix(),
+        )
+        # async block-cursor refresh, once per chunk (same single-
+        # outstanding-future discipline as process_frame)
+        if getattr(self, "_nb_future", None) is None:
+            a = self.vol.n_blocks + 0
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+            self._nb_future = a
+        for p_ in poses:
+            self._last_pose = p_
+            self.cam_poses.append(p_.copy())
+            self.cam_intrinsics.append(self.K.copy())
+        self.current_frame += n
+        return poses
+
     # -- raycast service -------------------------------------------------------
 
     def run_raycast(self, c2w: np.ndarray, K: np.ndarray | None = None,

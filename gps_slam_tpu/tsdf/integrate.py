@@ -330,8 +330,7 @@ def _block_voxel_positions(block_keys: jax.Array, voxel_size: float) -> jax.Arra
     return (base[:, None, :] + local[None, :, :]) * voxel_size
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 8, 10))
-def fuse_frame(
+def _fuse_frame_impl(
     vol: TsdfVolume,
     depth: jax.Array,   # [H, W] metres
     rgb: jax.Array,     # [H, W, 3] float in [0,1]
@@ -487,6 +486,58 @@ def fuse_frame(
 
     return _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
                         frame_idx)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 8, 10))
+def fuse_frame(
+    vol: TsdfVolume,
+    depth: jax.Array,
+    rgb: jax.Array,
+    c2w: jax.Array,
+    K: jax.Array,
+    bilinear_color: bool = False,
+    use_pallas: bool = False,
+    shard_sid: jax.Array | None = None,
+    shard_n: int = 1,
+    frame_idx: jax.Array | None = None,
+    pool_prefix: int | None = None,
+) -> TsdfVolume:
+    """Jitted single-frame wrapper of `_fuse_frame_impl` (see its doc)."""
+    return _fuse_frame_impl(vol, depth, rgb, c2w, K, bilinear_color,
+                            use_pallas, shard_sid, shard_n, frame_idx,
+                            pool_prefix)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 7))
+def fuse_frames_scan(
+    vol: TsdfVolume,
+    depths: jax.Array,  # [F, H, W] metres
+    rgbs: jax.Array,    # [F, H, W, 3] float in [0,1]
+    c2ws: jax.Array,    # [F, 4, 4]
+    K: jax.Array,
+    bilinear_color: bool = False,
+    use_pallas: bool = False,
+    pool_prefix: int | None = None,
+) -> TsdfVolume:
+    """Fuse a CHUNK of frames in one device program (`lax.scan` over the
+    per-frame body).  Valid only when every pose is known up front
+    (gt-pose train / recon modes) — under tracking, frame i+1's pose
+    depends on frame i's raycast, so the engine falls back to per-frame
+    dispatch.  The reference's per-frame loop (slam_pipeline.cpp:52-173)
+    costs nothing over PCIe; over a high-latency host link each dispatch
+    + control fetch is ~ms-scale, and this amortizes it F-fold.  The
+    visible-scan `pool_prefix` bucket is held static across the chunk:
+    blocks allocated past the bucket within the chunk are still inserted
+    and integrate from their next visible pass (same one-frame-stale
+    contract as the async cursor cache, tsdf/engine._pool_prefix)."""
+
+    def body(v, xs):
+        d, c, p = xs
+        return _fuse_frame_impl(v, d, c, p, K, bilinear_color, use_pallas,
+                                None, 1, None, pool_prefix), None
+
+    vol, _ = jax.lax.scan(body, vol, (depths, rgbs, c2ws))
+    return vol
 
 
 def _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,

@@ -94,6 +94,31 @@ def fused_volume():
     return vol, cams
 
 
+def test_chunked_fusion_matches_per_frame(fused_volume):
+    """integrate.fuse_frames_scan (one lax.scan device program per chunk,
+    the gt-pose fast path) must reproduce the per-frame fuse_frame
+    sequence: same blocks in the same pool order, same voxel state."""
+    vol_seq, cams = fused_volume
+    vol = vol_mod.create(_small_params())
+    depths = jnp.stack([jnp.asarray(c.depth[..., 0]) for c in cams])
+    rgbs = jnp.stack([jnp.asarray(c.image) for c in cams])
+    c2ws = jnp.stack([jnp.asarray(c.c2w) for c in cams])
+    vol_chunk = integrate.fuse_frames_scan(
+        vol, depths, rgbs, c2ws, jnp.asarray(cams[0].K))
+    n_seq = int(vol_seq.n_blocks)
+    assert int(vol_chunk.n_blocks) == n_seq
+    np.testing.assert_array_equal(
+        np.asarray(vol_chunk.block_coords[:n_seq]),
+        np.asarray(vol_seq.block_coords[:n_seq]))
+    np.testing.assert_allclose(
+        np.asarray(vol_mod.sdf_to_f32(vol_chunk.sdf[:n_seq])),
+        np.asarray(vol_mod.sdf_to_f32(vol_seq.sdf[:n_seq])),
+        atol=2e-4)  # one i16 quantization step
+    np.testing.assert_array_equal(
+        np.asarray(vol_chunk.w_depth[:n_seq]),
+        np.asarray(vol_seq.w_depth[:n_seq]))
+
+
 def test_fusion_allocates_blocks(fused_volume):
     vol, _ = fused_volume
     nb = int(vol.n_blocks)
