@@ -479,18 +479,33 @@ class SLAMPipeline:
         keyframes randomly; we mirror that.)"""
         p = self.pipe
         n_local = len(self.localframe_cam_window)
-        for cam, ray in zip(self.opt_cam_list[n_local:], self.opt_raycast_list[n_local:]):
+        kf = list(zip(self.opt_cam_list[n_local:],
+                      self.opt_raycast_list[n_local:]))
+        if not kf:
+            return
+        # gt images come from the device cache (a per-keyframe
+        # jnp.asarray(cam.image) re-uploaded ~10 MB over the slow host
+        # link every window), and the per-keyframe scalar results drain in
+        # ONE host fetch instead of 2 sync round trips per keyframe
+        vals = []
+        for cam, ray in kf:
             res = model.forward(
                 cam.c2w_slam, cam.K, ray["depth_map"][..., 0], ray["color_map"]
             )
             mask = (ray["depth_map"][..., 0] > 0)[..., None]
-            loss = float(losses.l1(jnp.asarray(cam.image), res["rgb"], mask))
-            conf_mean = float(ray["confidence_map"].mean())
+            gt = self.frame_cache.get(cam)[0]
+            vals.append(jnp.stack([
+                losses.l1(gt, res["rgb"], mask),
+                ray["confidence_map"].mean(),
+            ]))
+        arr = np.asarray(jnp.stack(vals))
+        for k, (cam, _) in enumerate(kf):
+            loss = float(arr[k, 0])
             fid = cam.get_frame_id()
             prev = self.keyframe_loss_dict.get(fid, [0.1, 0.0, 0.0, 0.0, 0.0])
             opt_count = prev[3] + (1.0 if loss > p.kf_loss_thres else 0.0)
             self.keyframe_loss_dict[fid] = [
-                loss, float(self.curr_frame_id), conf_mean, opt_count,
+                loss, float(self.curr_frame_id), float(arr[k, 1]), opt_count,
             ]
 
     def remove_redundant(self, model: GaussianModel) -> None:

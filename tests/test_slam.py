@@ -152,6 +152,46 @@ def test_count_cache_bootstraps(tmp_path):
     assert model.num_gaussians_cached == model.num_gaussians
 
 
+def test_keyframe_error_bookkeeping_ours(tmp_path):
+    """kf_sample_method='ours' must populate keyframe_loss_dict via the
+    batched single-fetch path (checkKeyFrameError,
+    slam_pipeline.cpp:293-317): one [loss, frame_id, conf, opt_count]
+    entry per re-evaluated keyframe, with finite values."""
+    from gps_slam_tpu.gs.model import GaussianModel
+    from gps_slam_tpu.slam.pipeline import SLAMPipeline
+    from gps_slam_tpu.tsdf.engine import TsdfEngine
+
+    n_frames = 13
+    cams = synthetic.make_cameras(n_frames=n_frames, width=96, height=64)
+    cam0 = cams[0]
+    node = {
+        "input_dir": "m", "image_path": "c", "pose_path": "c", "depth_path": "d",
+        "pcd_name": "n", "depth_scale": 6553.5, "scene_scale": 1.0,
+        "start_frame": 0, "end_frame": n_frames - 1, "frame_step": 1,
+        "intrinsics": [cam0.fx, cam0.fy, cam0.cx, cam0.cy],
+        "image_shape": [96, 64], "downscale_factor": 1, "test_split_interval": -1,
+    }
+    cfg_dict = synthetic.default_config_dict(str(tmp_path / "ws"), node)
+    cfg_dict["PIPE"]["keyframe_sample_configs"]["sample_method"] = "ours"
+    # low motion thresholds: the slow orbit must still mint keyframes
+    cfg_dict["PIPE"].update(keyframe_theta_thres=1, keyframe_trans_thres=0.01)
+    cfg = Config.from_dict(cfg_dict)
+    engine = TsdfEngine(cfg, 96, 64, cam0.K)
+    engine.set_gt_poses([c.c2w for c in cams])
+    engine.turn_off_tracking()
+    model = GaussianModel(cfg, 96, 64)
+    pipe = SLAMPipeline(cfg, engine, cfg.workspace_dir, is_train=False)
+    pipe.slam_train_cams(model, cams)
+    assert len(pipe.keyframe_cam_list) >= 2
+    # at least one keyframe was re-evaluated after an optimization window
+    reevaluated = [v for v in pipe.keyframe_loss_dict.values() if len(v) == 4]
+    assert reevaluated, pipe.keyframe_loss_dict
+    for loss, fid, conf, opt_count in reevaluated:
+        assert np.isfinite(loss) and 0 <= loss < 1
+        assert np.isfinite(conf)
+        assert opt_count >= 0
+
+
 def test_icp_tracker_converges():
     """ICP must recover a small pose perturbation against raycast maps."""
     import jax.numpy as jnp
