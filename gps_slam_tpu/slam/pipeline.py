@@ -37,6 +37,16 @@ from ..utils.camera import Camera
 from ..utils.se3 import compute_normal_map
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _slice_map_rows(maps: dict, n: int) -> list[dict]:
+    """Split stacked [M, ...] raycast maps into M per-camera dicts in ONE
+    device program (n x keys eager slices would each pay a dispatch)."""
+    return [{k: v[i] for k, v in maps.items()} for i in range(n)]
+
+
 @jax.jit
 def _assemble_opt_batch(c2w, K, cam_id, gt_rgb, ref_depth, base_color):
     """Stack the per-camera window tensors in ONE device program.
@@ -239,14 +249,20 @@ class SLAMPipeline:
                 continue
             if i % p.local_opt_interval == 0 and i > 0:
                 t1 = time.monotonic()
-                self.local_frame_raycast()
                 if sync:
+                    # honest-timing mode keeps the two-phase per-camera
+                    # path so the localFrame/keyFrame columns stay real
+                    self.local_frame_raycast()
                     self._phase_sync(
                         self.localframe_raycast_window[-1]["depth_map"])
-                t2 = time.monotonic()
-                self.key_frame_raycast()
-                if sync:
+                    t2 = time.monotonic()
+                    self.key_frame_raycast()
                     self._phase_sync(self.opt_raycast_list[-1]["depth_map"])
+                else:
+                    # one scanned dispatch for the whole opt set; the
+                    # combined cost lands in the localFrameRaycast column
+                    self._raycast_opt_set()
+                    t2 = time.monotonic()
                 t3 = time.monotonic()
                 self.init_new_gaussians(model, self.localframe_raycast_window[-1])
                 if sync:
@@ -359,6 +375,35 @@ class SLAMPipeline:
         self.localframe_raycast_window = [
             self.run_raycast_by_cam(c, False) for c in self.localframe_cam_window
         ]
+
+    def _raycast_opt_set(self) -> None:
+        """localFrameRaycast + keyFrameRaycast as ONE scanned device
+        dispatch (engine.run_raycast_batch) plus one slice program —
+        replaces ~(window + keyframe_select_max) per-camera dispatches.
+        Keyframe sampling order matches key_frame_raycast exactly (same
+        rng draw per window)."""
+        self.opt_cam_list = list(self.localframe_cam_window)
+        n_sel = min(self.pipe.keyframe_select_max, len(self.keyframe_cam_list))
+        if n_sel > 0:
+            sel = self._rng.permutation(len(self.keyframe_cam_list))[:n_sel]
+            for k in sel:
+                self.opt_cam_list.append(self.keyframe_cam_list[int(k)])
+        n_local = len(self.localframe_cam_window)
+        if not self.opt_cam_list:
+            self.localframe_raycast_window = []
+            self.opt_raycast_list = []
+            return
+        poses = []
+        for cam in self.opt_cam_list:
+            k = self._pose_idx.get(cam.id, -1)
+            if self.engine.cam_poses and 0 <= k < len(self.engine.cam_poses):
+                poses.append(self.engine.cam_poses[k])
+            else:
+                poses.append(np.asarray(cam.c2w, np.float32))
+        maps = self.engine.run_raycast_batch(np.stack(poses))
+        rows = _slice_map_rows(maps, len(self.opt_cam_list))
+        self.localframe_raycast_window = rows[:n_local]
+        self.opt_raycast_list = rows
 
     def key_frame_raycast(self) -> None:
         """(keyFrameRaycast :528-561): opt set = local window + up to

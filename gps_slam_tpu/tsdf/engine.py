@@ -382,6 +382,35 @@ class TsdfEngine:
             max(p.raycast_bisect, 8), p.raycast_chunk,
         )
 
+    def run_raycast_batch(self, c2ws: np.ndarray, K: np.ndarray | None = None,
+                          quality: bool = False) -> dict:
+        """Raycast M poses in ONE device program (stacked [M, ...] map
+        dict).  The opt window's local + keyframe raycasts
+        (slam_pipeline.cpp:417-448/528-561) go through here; swapping and
+        spatial sharding need per-pose host work and fall back to a
+        stacked per-pose loop."""
+        c2ws = np.asarray(c2ws, np.float32)
+        K_dev = self._K_dev if K is None else jnp.asarray(
+            np.asarray(K), jnp.float32)
+        p = self.vol.params
+        if self.swap is not None or self.space_shards > 1:
+            outs = [self.run_raycast(c2ws[i], K, quality=quality)
+                    for i in range(len(c2ws))]
+            return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+        if self._use_pallas_raycast():
+            from . import raycast_pallas as rc_pallas
+
+            return rc_pallas.raycast_batch(
+                self.vol, jnp.asarray(c2ws), K_dev,
+                self.width, self.height, p.raycast_lb, p.raycast_samples,
+                max(p.raycast_bisect, 8), 2 if quality else 1, 8,
+            )
+        return rc_tiles.raycast_batch(
+            self.vol, jnp.asarray(c2ws), K_dev,
+            self.width, self.height, p.raycast_lb, p.raycast_samples,
+            max(p.raycast_bisect, 8), p.raycast_chunk,
+        )
+
     def _use_pallas_raycast(self) -> bool:
         """The Mosaic march kernel needs a real TPU backend; the XLA
         formulation serves every other platform (and remains the oracle

@@ -434,3 +434,32 @@ def raycast(
         "normal_map": normal_img,
         "n_tile_overflow": n_overflow,
     }
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def raycast_batch(
+    vol: TsdfVolume,
+    c2ws: jax.Array,  # [M, 4, 4]
+    K: jax.Array,
+    width: int,
+    height: int,
+    lb: int = 24,
+    s_coarse: int = 4,
+    s_refine: int = 8,
+    k_blocks: int = 2,
+    tiles_per_step: int = 4,
+    interpret: bool = False,
+):
+    """`raycast` scanned over M poses — stacked [M, ...] map dict in ONE
+    device program.  An optimization window's raycasts (local window +
+    sampled keyframes, slam_pipeline.cpp:417-448/528-561) otherwise cost
+    one dispatch each; over a high-latency host link the per-dispatch
+    submission adds up, and inside one program XLA overlaps each camera's
+    tile binning with the previous camera's march."""
+
+    def body(_, c2w):
+        return None, raycast(vol, c2w, K, width, height, lb, s_coarse,
+                             s_refine, k_blocks, tiles_per_step, interpret)
+
+    _, maps = jax.lax.scan(body, None, c2ws)
+    return maps

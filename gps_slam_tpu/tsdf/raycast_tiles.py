@@ -472,3 +472,27 @@ def raycast(
         "normal_map": normal_img,
         "n_tile_overflow": n_overflow,
     }
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def raycast_batch(
+    vol: TsdfVolume,
+    c2ws: jax.Array,  # [M, 4, 4]
+    K: jax.Array,
+    width: int,
+    height: int,
+    lb: int = 16,
+    s_coarse: int = 4,
+    s_refine: int = 8,
+    chunk: int = 32,
+    k_blocks: int = 2,
+):
+    """`raycast` scanned over M poses — stacked [M, ...] map dict in one
+    device program (see raycast_pallas.raycast_batch for the rationale)."""
+
+    def body(_, c2w):
+        return None, raycast(vol, c2w, K, width, height, lb, s_coarse,
+                             s_refine, chunk, k_blocks)
+
+    _, maps = jax.lax.scan(body, None, c2ws)
+    return maps

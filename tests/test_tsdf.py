@@ -119,6 +119,30 @@ def test_chunked_fusion_matches_per_frame(fused_volume):
         np.asarray(vol_seq.w_depth[:n_seq]))
 
 
+def test_raycast_batch_matches_per_camera(fused_volume):
+    """raycast_batch (one scanned program for M poses — the opt window's
+    fast path) must reproduce the single-camera raycast map-for-map."""
+    from gps_slam_tpu.tsdf import raycast_tiles as rt
+
+    vol, cams = fused_volume
+    picks = [cams[1], cams[4], cams[6]]
+    K = jnp.asarray(picks[0].K)
+    w, h = picks[0].width, picks[0].height
+    c2ws = jnp.stack([jnp.asarray(c.c2w) for c in picks])
+    batch = rt.raycast_batch(vol, c2ws, K, w, h)
+    for i, cam in enumerate(picks):
+        single = rt.raycast(vol, jnp.asarray(cam.c2w), K, w, h)
+        for key in ("depth_map", "color_map", "confidence_map",
+                    "vertex_map", "normal_map"):
+            # normals renormalize tiny vertex differences: scanned-vs-
+            # standalone compilation reassociates the Sobel sums, so the
+            # unit vectors carry ~1e-5 absolute noise
+            atol = 1e-4 if key == "normal_map" else 1e-6
+            np.testing.assert_allclose(
+                np.asarray(batch[key][i]), np.asarray(single[key]),
+                rtol=1e-5, atol=atol, err_msg=key)
+
+
 def test_fusion_allocates_blocks(fused_volume):
     vol, _ = fused_volume
     nb = int(vol.n_blocks)
