@@ -383,7 +383,8 @@ class SLAMPipeline:
         Keyframe sampling order matches key_frame_raycast exactly (same
         rng draw per window)."""
         self.opt_cam_list = list(self.localframe_cam_window)
-        n_sel = min(self.pipe.keyframe_select_max, len(self.keyframe_cam_list))
+        n_sel = (min(self.pipe.keyframe_select_max, len(self.keyframe_cam_list))
+                 if self.pipe.kf_sample_method == "random" else 0)
         if n_sel > 0:
             sel = self._rng.permutation(len(self.keyframe_cam_list))[:n_sel]
             for k in sel:
@@ -407,9 +408,14 @@ class SLAMPipeline:
 
     def key_frame_raycast(self) -> None:
         """(keyFrameRaycast :528-561): opt set = local window + up to
-        keyframe_select_max randomly sampled keyframes."""
+        keyframe_select_max randomly sampled keyframes.  Keyframes join
+        ONLY in 'random' mode — the reference's 'ours' mode optimizes the
+        local window alone and keeps the loss bookkeeping
+        (slam_pipeline.cpp:538-552)."""
         self.opt_cam_list = list(self.localframe_cam_window)
         self.opt_raycast_list = list(self.localframe_raycast_window)
+        if self.pipe.kf_sample_method != "random":
+            return
         n_sel = min(self.pipe.keyframe_select_max, len(self.keyframe_cam_list))
         if n_sel > 0:
             sel = self._rng.permutation(len(self.keyframe_cam_list))[:n_sel]
