@@ -171,6 +171,7 @@ def raw_forward(
     cam_id: jax.Array,
     st: RenderStatics,
     means2d_probe: jax.Array | None = None,
+    active_sh_degree: jax.Array | None = None,
 ) -> dict:
     """Classic 3DGS render (rawForward, raw_gs_model.cpp:43-185):
     depth-sorted front-to-back alpha compositing, expected depth =
@@ -198,7 +199,8 @@ def raw_forward(
         [params["features_dc"][:, None, :], params["features_rest"]], axis=1
     )
     viewdirs = params["means"] - c2w[:3, 3]
-    colors = sh.eval_sh(st.sh_degree, viewdirs, coeffs, mask=radii > 0)
+    colors = sh.eval_sh(st.sh_degree, viewdirs, coeffs, mask=radii > 0,
+                        active_degree=active_sh_degree)
     colors = jnp.maximum(colors + 0.5, 0.0)
     colors4 = jnp.concatenate([colors, proj.depths[:, None]], axis=1)
 

@@ -37,19 +37,25 @@ from ..utils import io as uio
 def _train_iter(
     pool, opt_state, cam, st, tx_cfg, max_iterations, ssim_weight, method,
     ref_depth=None, base_color=None, want_probe_grad=False,
+    active_sh_degree=None,
 ):
     """One offline training iteration.  Returns (pool, opt_state, loss,
-    probe_grad, radii)."""
+    probe_grad, radii).  `active_sh_degree` carries the offline SH
+    warm-up ramp (updateSH(curr_iter), include/raw_gs_model.h:26-32 via
+    src/pipeline.cpp:196,294) as a traced scalar so the ramp never
+    recompiles."""
     tx = optim.make_optimizer(gmodel._TxCfg(*tx_cfg), max_iterations)
     probe = jnp.zeros((pool.capacity, 2))
 
     def loss_fn(params, probe):
         if method == "raw":
             res = gmodel.raw_forward(params, pool.alive, cam["c2w"], cam["K"],
-                                     cam["cam_id"], st, means2d_probe=probe)
+                                     cam["cam_id"], st, means2d_probe=probe,
+                                     active_sh_degree=active_sh_degree)
         else:
             res = gmodel.ges_forward(params, pool.alive, cam["c2w"], cam["K"],
-                                     ref_depth, base_color, cam["cam_id"], st)
+                                     ref_depth, base_color, cam["cam_id"], st,
+                                     active_sh_degree=active_sh_degree)
         loss = losses.compute_loss(res["rgb"], res["depth"], cam["gt_rgb"],
                                    None, ssim_weight, 0.0)
         return loss["total"], res["radii"]
@@ -187,6 +193,9 @@ class OfflinePipeline:
                 model.pool, model.opt_state, cam_dev[ci], model.statics, tx_cfg,
                 cfg.pipe.max_iterations, cfg.pipe.ssim_weight, "raw",
                 want_probe_grad=want_grad,
+                active_sh_degree=jnp.asarray(
+                    min(it // max(m.sh_degree_interval, 1), m.sh_degree),
+                    jnp.int32),
             )
             self._log_scalar_lazy(lval)
             if (it % cfg.pipe.log_iter == 0 or it + 1 == cfg.pipe.max_iterations):
@@ -235,6 +244,7 @@ class OfflinePipeline:
         the GES renderer against per-camera SDF raycast depth/color."""
         cfg = self.cfg
         model.init_optimizers()
+        m = cfg.model
         selector = RandomSelector(list(range(len(cams))), self._rng)
         tx_cfg = gmodel.tx_cfg_tuple(cfg.model)
         cam_dev = [
@@ -257,6 +267,9 @@ class OfflinePipeline:
                 ref_depth=rt["depth_map"][..., 0] if rt["depth_map"].ndim == 3
                 else rt["depth_map"],
                 base_color=rt["color_map"],
+                active_sh_degree=jnp.asarray(
+                    min(self.curr_iter // max(m.sh_degree_interval, 1),
+                        m.sh_degree), jnp.int32),
             )
             self._log_scalar_lazy(lval)
             if (self.curr_iter % cfg.pipe.log_iter == 0

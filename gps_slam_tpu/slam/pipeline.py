@@ -491,15 +491,22 @@ class SLAMPipeline:
                 d = self.frame_cache.get(self.opt_cam_list[i])[1]
                 return d[..., 0] if d.ndim == 3 else d
             batch["gt_depth"] = jnp.stack([get_depth(i) for i in idx_pad])
+        # per-iteration camera choice: shuffled WITHOUT replacement with
+        # epoch reset (RandomSelector semantics, dataset_reader.h:65-99 —
+        # the reference cycles the opt set evenly; iid sampling can starve
+        # a window camera within one short window)
+        idx_seq: list[int] = []
+        while len(idx_seq) < p.local_opt_iters:
+            idx_seq.extend(int(v) for v in self._rng.permutation(n_valid))
         iter_idx = jnp.asarray(
-            self._rng.integers(0, n_valid, p.local_opt_iters), jnp.int32
+            np.asarray(idx_seq[: p.local_opt_iters]), jnp.int32
         )
-        # SH warm-up: raise the active degree every sh_degree_interval
-        # iterations (raw_gs_model.cpp:23 / oneUpShDegree)
+        # the SLAM window optimizer always renders FULL SH — updateSH(-1)
+        # at slam_pipeline.cpp:242 resolves to degreesToUse = maxSH
+        # (raw_gs_model.h:26-32); the iteration warm-up ramp belongs to
+        # the OFFLINE trainer (pipeline.cpp:196,294 -> slam/offline.py)
         m = self.cfg.model
-        active_deg = min(
-            self.curr_iter // max(m.sh_degree_interval, 1), m.sh_degree
-        )
+        active_deg = m.sh_degree
         # cached count staleness: the cache was refreshed after the LAST
         # window's prune, and this window's spawn (init_new_gaussians runs
         # just before) adds at most max_new rows — so max_new of margin is
