@@ -30,6 +30,15 @@ def main() -> None:
 
     import jax
 
+    # persistent compile cache: repeat bench runs (driver + manual) skip
+    # the multi-minute first-compile pass.  Best-effort — the axon remote
+    # compiler may not participate, in which case this is a no-op.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from gps_slam_tpu.config import Config
     from gps_slam_tpu.data import synthetic
     from gps_slam_tpu.gs.model import GaussianModel
