@@ -201,7 +201,10 @@ class OfflinePipeline:
             if (it % cfg.pipe.log_iter == 0 or it + 1 == cfg.pipe.max_iterations):
                 res = gmodel.raw_forward_jit(
                     model.pool.params, model.pool.alive, cam_dev[ci]["c2w"],
-                    cam_dev[ci]["K"], cam_dev[ci]["cam_id"], model.statics)
+                    cam_dev[ci]["K"], cam_dev[ci]["cam_id"], model.statics,
+                    active_sh_degree=jnp.asarray(
+                        min(it // max(m.sh_degree_interval, 1), m.sh_degree),
+                        jnp.int32))
                 self.log_results(model, cams[ci],
                                  {"rgb": res["rgb"], "depth": res.get("depth"),
                                   "alpha": res.get("alpha")})
@@ -279,7 +282,10 @@ class OfflinePipeline:
                     cam_dev[ci]["K"],
                     rt["depth_map"][..., 0] if rt["depth_map"].ndim == 3
                     else rt["depth_map"],
-                    rt["color_map"], cam_dev[ci]["cam_id"], model.statics)
+                    rt["color_map"], cam_dev[ci]["cam_id"], model.statics,
+                    active_sh_degree=jnp.asarray(
+                        min(self.curr_iter // max(m.sh_degree_interval, 1),
+                            m.sh_degree), jnp.int32))
                 self.log_results(model, cams[ci],
                                  {"rgb": res["rgb"], "depth": res.get("depth"),
                                   "alpha": res.get("alpha")})

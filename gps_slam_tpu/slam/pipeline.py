@@ -222,8 +222,9 @@ class SLAMPipeline:
                 frames = [self.frame_cache.get(cams[k]) for k in group]
                 poses = self.engine.process_frames_gt(frames)
             # issue the next frames' host->device uploads now so the (slow)
-            # link overlaps this group's fusion compute
-            for ahead in range(1, len(group) + 2):
+            # link overlaps this group's fusion compute — depth covers the
+            # NEXT group's full size even after a short boundary group
+            for ahead in range(1, (chunk_n if can_chunk else 2) + 1):
                 if i + ahead < total:
                     self.frame_cache.get(cams[i + ahead])
             if sync:
@@ -394,6 +395,23 @@ class SLAMPipeline:
             self.localframe_raycast_window = []
             self.opt_raycast_list = []
             return
+        # the batch raycasts every pose with the ENGINE's K/width/height;
+        # a camera with its own intrinsics/dimensions (e.g. downscaled
+        # split cams) must keep the per-camera path or it would silently
+        # train against a misprojected target
+        uniform = all(
+            cam.width == self.engine.width and cam.height == self.engine.height
+            and np.allclose(np.asarray(cam.K), self.engine.K)
+            for cam in self.opt_cam_list
+        )
+        if not uniform:
+            self.localframe_raycast_window = [
+                self.run_raycast_by_cam(c, False)
+                for c in self.localframe_cam_window]
+            self.opt_raycast_list = list(self.localframe_raycast_window) + [
+                self.run_raycast_by_cam(c, False)
+                for c in self.opt_cam_list[n_local:]]
+            return
         poses = []
         for cam in self.opt_cam_list:
             k = self._pose_idx.get(cam.id, -1)
@@ -504,9 +522,9 @@ class SLAMPipeline:
         # the SLAM window optimizer always renders FULL SH — updateSH(-1)
         # at slam_pipeline.cpp:242 resolves to degreesToUse = maxSH
         # (raw_gs_model.h:26-32); the iteration warm-up ramp belongs to
-        # the OFFLINE trainer (pipeline.cpp:196,294 -> slam/offline.py)
+        # the OFFLINE trainer (pipeline.cpp:196,294 -> slam/offline.py).
+        # None compiles the band-mask-free eval_sh form.
         m = self.cfg.model
-        active_deg = m.sh_degree
         # cached count staleness: the cache was refreshed after the LAST
         # window's prune, and this window's spawn (init_new_gaussians runs
         # just before) adds at most max_new rows — so max_new of margin is
@@ -518,7 +536,7 @@ class SLAMPipeline:
             p.depth_weight,
             model.opt_cap(extra=self.cfg.tpu.max_new_gaussians,
                           cached=True),
-            jnp.asarray(active_deg, jnp.int32),
+            None,
         )
         self.curr_iter += p.local_opt_iters
         self._last_loss_hist = aux["loss_hist"]
@@ -532,9 +550,15 @@ class SLAMPipeline:
         """(checkKeyFrameError, slam_pipeline.cpp:293-317): after each
         optimization window re-evaluate the sampled keyframes' masked loss
         and record [loss, frame_id, mean confidence, opt_count] — the
-        bookkeeping behind the `ours` sampling method.  (The reference
-        defines score-based comparators but its release path still samples
-        keyframes randomly; we mirror that.)"""
+        bookkeeping behind the `ours` sampling method.
+
+        NOTE: under exact reference semantics this loop is empty — 'ours'
+        mode never adds keyframes to the opt set (keyFrameRaycast adds
+        them only in 'random' mode, :538-552), so opt_cam_list[n_local:]
+        is always [].  The body is kept correct and batched (one device
+        program, one host fetch) for direct callers and any future
+        loss-weighted sampler, mirroring the reference keeping its own
+        vestigial implementation."""
         p = self.pipe
         n_local = len(self.localframe_cam_window)
         kf = list(zip(self.opt_cam_list[n_local:],

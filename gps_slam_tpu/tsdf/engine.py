@@ -149,7 +149,10 @@ class TsdfEngine:
     # the per-frame visible pass O(allocated), not O(capacity)
     _PREFIX_MARGIN = 4096
 
-    def _pool_prefix(self) -> int:
+    def _pool_prefix(self, stale_frames: int = 1) -> int:
+        """`stale_frames` scales the staleness margin: chunked fusion
+        refreshes the cursor once per chunk, so blocks allocated inside a
+        chunk must still land under the prefix bucket."""
         B = self.params.block_capacity
         fut = getattr(self, "_nb_future", None)
         if fut is not None:
@@ -169,7 +172,8 @@ class TsdfEngine:
                 except Exception:
                     pass  # deleted/donated buffer: keep the stale cache
                 self._nb_future = None
-        n = getattr(self, "_nb_cache", 0) + self._PREFIX_MARGIN
+        n = (getattr(self, "_nb_cache", 0)
+             + self._PREFIX_MARGIN * max(stale_frames, 1))
         b = 1 << 14
         while b < n and b < B:
             b <<= 1
@@ -315,7 +319,9 @@ class TsdfEngine:
         self.vol = integrate.fuse_frames_scan(
             self.vol, depths, rgbs, jnp.asarray(np.stack(poses)),
             self._K_dev, False, self._use_pallas_raycast(),
-            pool_prefix=self._pool_prefix(),
+            # cursor refreshes once per chunk: the margin must cover up to
+            # ~2 chunks of allocation lag, not one frame
+            pool_prefix=self._pool_prefix(stale_frames=2 * n),
         )
         # async block-cursor refresh, once per chunk (same single-
         # outstanding-future discipline as process_frame)

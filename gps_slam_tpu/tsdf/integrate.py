@@ -528,8 +528,10 @@ def fuse_frames_scan(
     + control fetch is ~ms-scale, and this amortizes it F-fold.  The
     visible-scan `pool_prefix` bucket is held static across the chunk:
     blocks allocated past the bucket within the chunk are still inserted
-    and integrate from their next visible pass (same one-frame-stale
-    contract as the async cursor cache, tsdf/engine._pool_prefix)."""
+    and integrate from their next visible pass.  Staleness is up to ~2
+    chunks of allocation (cursor refreshes once per chunk), so callers
+    must scale the prefix margin by the chunk length
+    (tsdf/engine._pool_prefix(stale_frames=...))."""
 
     def body(v, xs):
         d, c, p = xs

@@ -74,6 +74,18 @@ def main() -> None:
         e.turn_off_tracking()
         return e
 
+    def _refresh_cursor(eng) -> None:
+        # mirror engine.process_frame's async block-cursor refresh so the
+        # visible-pass prefix grows with the scene (a pinned bootstrap
+        # bucket would under-measure the visible scan)
+        if getattr(eng, "_nb_future", None) is None:
+            a = eng.vol.n_blocks + 0
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+            eng._nb_future = a
+
     # -- per-frame dispatches ------------------------------------------------
     for tag in ["compile"] + [f"rep{r}" for r in range(reps)]:
         eng = fresh_engine()
@@ -83,6 +95,7 @@ def main() -> None:
                 eng.vol, depths[i], rgbs[i], jnp.asarray(poses[i]),
                 eng._K_dev, False, eng._use_pallas_raycast(),
                 pool_prefix=eng._pool_prefix())
+            _refresh_cursor(eng)
         _fetch(eng.vol.n_blocks)
         dt = (time.monotonic() - t0) * 1000 / n_frames
         print(f"[fuse per-frame {tag}] {dt:.2f} ms/frame", flush=True)
@@ -97,7 +110,8 @@ def main() -> None:
                 eng.vol, jnp.stack(depths[i:i + f]), jnp.stack(rgbs[i:i + f]),
                 jnp.asarray(np.stack(poses[i:i + f])), eng._K_dev,
                 False, eng._use_pallas_raycast(),
-                pool_prefix=eng._pool_prefix())
+                pool_prefix=eng._pool_prefix(stale_frames=2 * f))
+            _refresh_cursor(eng)
         _fetch(eng.vol.n_blocks)
         dt = (time.monotonic() - t0) * 1000 / n_frames
         print(f"[fuse chunk={chunk} {tag}] {dt:.2f} ms/frame", flush=True)
