@@ -314,6 +314,12 @@ class TpuConfig:
     # per-frame dispatch (always used while tracking: the pose of frame
     # i+1 depends on frame i's raycast)
     fuse_chunk: int = 8
+    # fusion groups between host-side block_until_ready calls in the
+    # async loop (run-ahead bound).  Over a high-latency tunnel each call
+    # can cost a round trip; raise to let the host run further ahead.
+    # 0 = never sync inside the loop (the opt-frame bookkeeping and the
+    # end-of-run fetch still drain the queue)
+    host_sync_stride: int = 1
     # surface extraction: "mt" (marching tetrahedra) or "mc" (classic
     # 256-case marching cubes — reference-topology mode,
     # ITMMeshingEngine_Shared.h; table derived in tsdf/meshing.py)

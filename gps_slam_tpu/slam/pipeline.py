@@ -210,6 +210,8 @@ class SLAMPipeline:
         can_chunk = (
             not sync and chunk_n > 1 and self.engine.can_chunk_fusion()
         )
+        sync_stride = int(getattr(self.cfg.tpu, "host_sync_stride", 1))
+        n_groups = 0
         t_start = time.monotonic()
         for group in self._fusion_groups(total, p, can_chunk, chunk_n):
             t0 = time.monotonic()
@@ -227,9 +229,10 @@ class SLAMPipeline:
             for ahead in range(1, (chunk_n if can_chunk else 2) + 1):
                 if i + ahead < total:
                     self.frame_cache.get(cams[i + ahead])
+            n_groups += 1
             if sync:
                 int(jnp.sum(self.engine.vol.n_blocks))  # [S] when sharded
-            else:
+            elif sync_stride > 0 and n_groups % sync_stride == 0:
                 jax.block_until_ready(self.engine.vol.n_blocks)
             base = len(self.engine.cam_poses) - len(group)
             for k, idx in enumerate(group):
