@@ -241,6 +241,245 @@ class TrackerQuality:
     GOOD, POOR, FAILED = 2, 1, 0
 
 
+# --------------------------------------------------------------- color
+
+@partial(jax.jit, static_argnums=(7, 8))
+def _track_level_color(
+    M0: jax.Array,         # [4,4] current w2c estimate
+    pts_w: jax.Array,      # [N,3] world points from the previous raycast
+    col_known: jax.Array,  # [N,3] model colors at those points
+    pts_valid: jax.Array,  # [N] bool
+    rgb: jax.Array,        # [h,w,3] this level's image
+    gx: jax.Array,         # [h,w,3] Sobel x of rgb
+    gy: jax.Array,         # [h,w,3] Sobel y of rgb
+    n_iters: int,
+    rotation_only: bool,
+    cam: jax.Array,        # [4] fx fy cx cy at this level
+):
+    """One pyramid level of photometric Levenberg-Marquardt
+    (ITMColorTracker::TrackCamera; per-point terms
+    ITMColorTracker_Shared.h:37-111).  Minimizes
+    |bilinear(rgb, proj(M p_w)) - col_known|^2 over a LEFT-multiplied
+    twist on the w2c matrix M; image gradients carry the chain rule
+    exactly like the reference's gx/gy interpolants."""
+    h, w = rgb.shape[:2]
+    fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
+    N = pts_w.shape[0]
+
+    def gn_iter(state):
+        (M, M_acc, err_acc, lam, inl, mr, it, step) = state
+        p_c = mm(pts_w, M[:3, :3].T) + M[:3, 3]
+        z = jnp.maximum(p_c[:, 2], 1e-6)
+        u = fx * p_c[:, 0] / z + cx
+        v = fy * p_c[:, 1] / z + cy
+        in_img = (p_c[:, 2] > 0) & (u >= 0) & (u <= w - 1) \
+            & (v >= 0) & (v <= h - 1)
+        us = jnp.clip(u, 0.0, w - 1.0)
+        vs = jnp.clip(v, 0.0, h - 1.0)
+        c_obs, wz = _bilinear(rgb, us, vs)
+        gx_o, _ = _bilinear(gx, us, vs)
+        gy_o, _ = _bilinear(gy, us, vs)
+        r = c_obs - col_known                       # [N,3]
+        ok = (pts_valid & in_img & (wz > 0.5)).astype(jnp.float32)
+
+        inv_z = 1.0 / z
+        # projection jacobians d(u,v)/d p_c
+        du_dp = jnp.stack(
+            [fx * inv_z, jnp.zeros_like(z), -fx * p_c[:, 0] * inv_z * inv_z],
+            -1)                                     # [N,3]
+        dv_dp = jnp.stack(
+            [jnp.zeros_like(z), fy * inv_z, -fy * p_c[:, 1] * inv_z * inv_z],
+            -1)
+        # left twist on M: dp_c/dv = I, dp_c/dw = w x p_c -> du/dw = p_c x du_dp
+        J_u = jnp.concatenate([du_dp, jnp.cross(p_c, du_dp)], -1)  # [N,6]
+        J_v = jnp.concatenate([dv_dp, jnp.cross(p_c, dv_dp)], -1)
+        if rotation_only:
+            sel = jnp.concatenate([jnp.zeros((1, 3)), jnp.ones((1, 3))], -1)
+            J_u = J_u * sel
+            J_v = J_v * sel
+        # per-channel residual jacobians, stacked [N,3,6]
+        J = gx_o[..., None] * J_u[:, None, :] + gy_o[..., None] * J_v[:, None, :]
+        Jm = J * ok[:, None, None]
+        Hm = jnp.einsum("nci,ncj->ij", Jm, J)
+        g = jnp.einsum("nci,nc->i", Jm, r)
+        n_ok = jnp.sum(ok)
+        err = jnp.where(
+            n_ok > 50,
+            jnp.sum(jnp.sum(r * r, -1) * ok) / jnp.maximum(n_ok, 1.0),
+            jnp.inf)
+        inlier = n_ok / N
+        # LM accept/reject (ITMColorTracker.cpp keeps the best F value and
+        # re-solves with raised damping on a worse step)
+        better = (err <= err_acc) | (it == 0)
+        M_ref = jnp.where(better, M, M_acc)
+        err_ref = jnp.where(better, err, err_acc)
+        lam_new = jnp.clip(jnp.where(better, lam * 0.1, lam * 10.0),
+                           1e-6, 1e5)
+        mean_diag = jnp.trace(Hm) / 6.0 + 1e-9
+        damp = lam_new * jnp.diag(jnp.diagonal(Hm)) \
+            + 1e-2 * mean_diag * jnp.eye(6)
+        delta = jnp.linalg.solve(Hm + damp, -g)
+        ok_solve = jnp.all(jnp.isfinite(delta)) & jnp.isfinite(err_ref)
+        delta = jnp.where(ok_solve, delta, 0.0)
+        M_new = mm(se3_exp(delta), M_ref)
+        return (M_new, M_ref, err_ref, lam_new, inlier,
+                jnp.sqrt(jnp.maximum(err, 0.0)), it + 1,
+                jnp.sum(delta * delta))
+
+    def cond(state):
+        return (state[6] < n_iters) & (state[7] > CONVERGED_STEP ** 2)
+
+    state = (M0, M0, jnp.asarray(jnp.inf), jnp.asarray(1e-3),
+             jnp.zeros(()), jnp.zeros(()), jnp.zeros((), jnp.int32),
+             jnp.ones(()))
+    out = jax.lax.while_loop(cond, gn_iter, state)
+    return out[1], out[4], out[5], out[6]
+
+
+def _downsample_rgb(img: jax.Array) -> jax.Array:
+    H, W, C = img.shape
+    return img[: H // 2 * 2, : W // 2 * 2].reshape(
+        H // 2, 2, W // 2, 2, C).mean(axis=(1, 3))
+
+
+class ColorTracker:
+    """Photometric pose tracker against the model's raycast colors —
+    ITMColorTracker (Trackers/Interface/ITMColorTracker.cpp:1-238,
+    config `type=rgb,levels=rrbb` at ITMLibSettings.cpp:67-68): the
+    previous raycast's world points + rendered colors are projected into
+    the NEW rgb frame and the photometric error is minimized by LM over
+    SE3, rotation-only at the two coarsest pyramid levels."""
+
+    def __init__(self, cfg: Config, width: int, height: int,
+                 n_levels: int = 4, stride: int = 4):
+        self.cfg = cfg
+        self.width, self.height = width, height
+        self.n_levels = n_levels
+        self.stride = stride
+        tnode = (cfg.raw.get("PIPE", {}).get("TSDF", {}) or {}).get(
+            "tracker", {}) or {}
+        self.level_iters = level_iters(
+            int(tnode.get("numiterC", NUMITER_C)),
+            int(tnode.get("numiterF", NUMITER_F)), n_levels)
+        self.min_inlier = float(tnode.get("color_min_inlier", 0.15))
+        self.max_residual = float(tnode.get("color_max_residual", 0.10))
+
+    def track(self, last_pose: np.ndarray, depth: np.ndarray,
+              raycast_maps: dict | None, K: np.ndarray,
+              rgb: np.ndarray | None = None):
+        if raycast_maps is None or rgb is None:
+            return last_pose, TrackerQuality.POOR
+        s = self.stride
+        vtx = jnp.asarray(raycast_maps["vertex_map"])[::s, ::s].reshape(-1, 3)
+        col = jnp.asarray(raycast_maps["color_map"])[::s, ::s].reshape(-1, 3)
+        valid = jnp.abs(vtx).sum(-1) > 0
+        img0 = jnp.asarray(np.asarray(rgb).reshape(self.height, self.width, 3))
+        from ..utils.se3 import _sobel
+
+        levels = [img0]
+        for _ in range(self.n_levels - 1):
+            levels.append(_downsample_rgb(levels[-1]))
+        fx0, fy0, cx0, cy0 = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        M = jnp.asarray(np.linalg.inv(last_pose))
+        inlier, mean_r = 0.0, 0.0
+        for lvl in range(self.n_levels - 1, -1, -1):
+            sc = 2 ** lvl
+            cam = jnp.asarray(
+                [fx0 / sc, fy0 / sc, (cx0 + 0.5) / sc - 0.5,
+                 (cy0 + 0.5) / sc - 0.5], jnp.float32)
+            gx, gy = _sobel(levels[lvl])
+            li = min(lvl, len(self.level_iters) - 1)
+            M, inl, mr, _ = _track_level_color(
+                M, vtx, col, valid, levels[lvl], gx, gy,
+                self.level_iters[li], lvl >= ROTATION_ONLY_FROM_LEVEL, cam)
+            inlier, mean_r = float(inl), float(mr)
+        self.last_inlier, self.last_residual = inlier, mean_r
+        T = np.asarray(jnp.linalg.inv(M))
+        if not np.all(np.isfinite(T)):
+            return last_pose, TrackerQuality.FAILED
+        if inlier < self.min_inlier or mean_r > self.max_residual:
+            return last_pose, TrackerQuality.FAILED
+        quality = (TrackerQuality.GOOD
+                   if (inlier > 0.3 and mean_r < 0.06)
+                   else TrackerQuality.POOR)
+        return T, quality
+
+
+class CompositeTracker:
+    """Run trackers in sequence, each refining the previous estimate
+    (ITMCompositeTracker.h POLICY_REFINE: every TrackCamera overwrites
+    the tracking state, so the reported quality is the LAST tracker's)."""
+
+    def __init__(self, trackers: list):
+        self.trackers = list(trackers)
+
+    def track(self, last_pose, depth, raycast_maps, K, rgb=None):
+        pose, quality = last_pose, TrackerQuality.POOR
+        for t in self.trackers:
+            pose, quality = t.track(pose, depth, raycast_maps, K, rgb=rgb)
+        return pose, quality
+
+
+class FileBasedTracker:
+    """Poses from per-frame files (ITMFileBasedTracker.cpp:21-56):
+    `pose_mask % frame` holds the COLUMN-major 4x4 INVERSE pose (w2c);
+    a missing/unreadable file is a tracking failure and the counter
+    still advances (allows gaps)."""
+
+    def __init__(self, pose_mask: str, initial_frame: int = 0):
+        self.pose_mask = pose_mask
+        self.frame = initial_frame
+
+    def track(self, last_pose, depth, raycast_maps, K, rgb=None):
+        path = self.pose_mask % self.frame
+        self.frame += 1
+        try:
+            vals = np.loadtxt(path, dtype=np.float32)
+        except Exception:
+            return last_pose, TrackerQuality.FAILED
+        if vals.size != 16:
+            return last_pose, TrackerQuality.FAILED
+        inv_pose = vals.reshape(4, 4, order="F")  # column-major stream
+        try:
+            return (np.linalg.inv(inv_pose).astype(np.float32),
+                    TrackerQuality.GOOD)
+        except np.linalg.LinAlgError:
+            return last_pose, TrackerQuality.FAILED
+
+
+class ForceFailTracker:
+    """Always fails (ITMForceFailTracker) — exercises the
+    behaviourOnFailure policies end-to-end."""
+
+    def track(self, last_pose, depth, raycast_maps, K, rgb=None):
+        return last_pose, TrackerQuality.FAILED
+
+
+def make_tracker(cfg: Config, width: int, height: int):
+    """Tracker factory over the optional PIPE.TSDF.tracker.type YAML key
+    (the reference's trackerConfig `type=` field,
+    ITMLibSettings.cpp:47-70 / ITMTrackerFactory): icp (default — the
+    depth-only extended tracker), rgb/color, composite (color refine
+    then icp, POLICY_REFINE), file (pose_mask), force_fail."""
+    tnode = (cfg.raw.get("PIPE", {}).get("TSDF", {}) or {}).get(
+        "tracker", {}) or {}
+    ttype = str(tnode.get("type", "icp")).lower()
+    if ttype in ("icp", "extended"):
+        return ICPTracker(cfg, width, height)
+    if ttype in ("rgb", "color"):
+        return ColorTracker(cfg, width, height)
+    if ttype == "composite":
+        return CompositeTracker(
+            [ColorTracker(cfg, width, height),
+             ICPTracker(cfg, width, height)])
+    if ttype == "file":
+        return FileBasedTracker(str(tnode.get("pose_mask", "pose%06d.txt")),
+                                int(tnode.get("initial_frame", 0)))
+    if ttype == "force_fail":
+        return ForceFailTracker()
+    raise ValueError(f"unknown tracker type: {ttype}")
+
+
 class ICPTracker:
     def __init__(self, cfg: Config, width: int, height: int, n_levels: int = 4):
         self.cfg = cfg
@@ -260,9 +499,12 @@ class ICPTracker:
         self.tukey_c = tuple(tnode.get("tukey_c", TUKEY_C))
 
     def track(self, last_pose: np.ndarray, depth: np.ndarray,
-              raycast_maps: dict | None, K: np.ndarray):
+              raycast_maps: dict | None, K: np.ndarray,
+              rgb: np.ndarray | None = None):
         """Track the new depth frame against the previous raycast.
-        Returns (c2w pose [4,4] np, quality)."""
+        Returns (c2w pose [4,4] np, quality).  `rgb` is accepted for
+        tracker-interface uniformity (used by ColorTracker) and ignored
+        by the depth-only path."""
         if raycast_maps is None:
             return last_pose, TrackerQuality.POOR
         d0 = jnp.asarray(np.asarray(depth).reshape(self.height, self.width))

@@ -200,6 +200,7 @@ class TsdfEngine:
                 depth,
                 self._last_raycast_for_tracking,
                 self.K,
+                rgb=rgb,
             )
             self._tracking_quality = quality
             if quality == TrackingResult.FAILED:
@@ -213,7 +214,7 @@ class TsdfEngine:
                     if cand is not None:
                         reloc_maps = self.run_raycast(cand)
                         pose, quality = self._tracker.track(
-                            cand, depth, reloc_maps, self.K
+                            cand, depth, reloc_maps, self.K, rgb=rgb
                         )
                         if quality == TrackingResult.FAILED:
                             pose = self._last_pose

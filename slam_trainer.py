@@ -39,9 +39,9 @@ def main(config_path: str) -> None:
         engine.set_gt_poses([c.c2w for c in train_cams])
         engine.turn_off_tracking()
     else:
-        from gps_slam_tpu.slam.tracker import ICPTracker
+        from gps_slam_tpu.slam.tracker import make_tracker
 
-        engine.attach_tracker(ICPTracker(cfg, cam0.width, cam0.height))
+        engine.attach_tracker(make_tracker(cfg, cam0.width, cam0.height))
 
     model = GaussianModel(
         cfg, cam0.width, cam0.height,

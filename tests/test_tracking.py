@@ -143,6 +143,98 @@ def test_tracking_stress_noisy_long(tmp_path):
     assert failed <= 0.2 * (N - 1), qualities
 
 
+def test_color_tracker_converges():
+    """Photometric tracker (ColorTracker — ITMColorTracker semantics):
+    given the previous view's world points + colors, it must recover a
+    small camera motion from the NEW rgb frame alone (no depth)."""
+    from gps_slam_tpu.slam.tracker import ColorTracker
+    from gps_slam_tpu.utils.se3 import compute_vertex_map, transform_points
+
+    W, H = 160, 120
+    cams = synthetic.make_cameras(n_frames=2, width=W, height=H, look="in")
+    cam = cams[0]
+    node = {
+        "input_dir": "mem", "image_path": "c", "pose_path": "c",
+        "depth_path": "d", "pcd_name": "n", "depth_scale": 6553.5,
+        "scene_scale": 1.0, "start_frame": 0, "end_frame": 1,
+        "frame_step": 1, "intrinsics": [cam.fx, cam.fy, cam.cx, cam.cy],
+        "image_shape": [W, H], "downscale_factor": 1,
+        "test_split_interval": -1,
+    }
+    cfg = Config.from_dict(synthetic.default_config_dict("/tmp/gps_ct", node))
+    # "model" maps: the old view's exact geometry + colors
+    vmap_c = compute_vertex_map(
+        jnp.asarray(cam.depth[..., 0] if cam.depth.ndim == 3 else cam.depth),
+        cam.fx, cam.fy, cam.cx, cam.cy)
+    vmap_w = transform_points(
+        vmap_c.reshape(-1, 3), jnp.asarray(cam.c2w)).reshape(vmap_c.shape)
+    maps = {"vertex_map": vmap_w, "color_map": jnp.asarray(cam.image)}
+
+    true_pose = cam.c2w.copy()
+    true_pose[:3, 3] += np.array([0.012, 0.0, 0.018], np.float32)
+    rgb_new, _ = synthetic.render_frame(
+        true_pose, cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy)
+
+    tracker = ColorTracker(cfg, W, H)
+    est, quality = tracker.track(cam.c2w, None, maps, cam.K, rgb=rgb_new)
+    err_before = np.linalg.norm(cam.c2w[:3, 3] - true_pose[:3, 3])
+    err_after = np.linalg.norm(est[:3, 3] - true_pose[:3, 3])
+    assert quality != TrackerQuality.FAILED
+    assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+def test_tracker_factory_and_trivial_trackers(tmp_path):
+    """make_tracker dispatch + the file/force-fail/composite surfaces
+    (ITMTrackerFactory / ITMFileBasedTracker.cpp:21-56 column-major
+    inverse-pose files / ITMForceFailTracker)."""
+    from gps_slam_tpu.slam.tracker import (
+        ColorTracker, CompositeTracker, FileBasedTracker, ForceFailTracker,
+        make_tracker)
+
+    W, H = 64, 48
+    cams = synthetic.make_cameras(n_frames=1, width=W, height=H)
+    cam = cams[0]
+    node = {
+        "input_dir": "mem", "image_path": "c", "pose_path": "c",
+        "depth_path": "d", "pcd_name": "n", "depth_scale": 6553.5,
+        "scene_scale": 1.0, "start_frame": 0, "end_frame": 0,
+        "frame_step": 1, "intrinsics": [cam.fx, cam.fy, cam.cx, cam.cy],
+        "image_shape": [W, H], "downscale_factor": 1,
+        "test_split_interval": -1,
+    }
+
+    def cfg_with(tnode):
+        d = synthetic.default_config_dict(str(tmp_path / "ws"), node)
+        d["PIPE"]["TSDF"]["tracker"] = tnode
+        return Config.from_dict(d)
+
+    assert isinstance(make_tracker(cfg_with({}), W, H), ICPTracker)
+    assert isinstance(make_tracker(cfg_with({"type": "rgb"}), W, H),
+                      ColorTracker)
+    comp = make_tracker(cfg_with({"type": "composite"}), W, H)
+    assert isinstance(comp, CompositeTracker) and len(comp.trackers) == 2
+
+    # force_fail: always FAILED, pose unchanged
+    ff = make_tracker(cfg_with({"type": "force_fail"}), W, H)
+    assert isinstance(ff, ForceFailTracker)
+    pose, q = ff.track(cam.c2w, None, None, cam.K)
+    assert q == TrackerQuality.FAILED and np.allclose(pose, cam.c2w)
+
+    # file tracker: column-major INVERSE pose file -> returns the pose
+    mask = str(tmp_path / "pose%06d.txt")
+    inv = np.linalg.inv(cam.c2w).astype(np.float32)
+    with open(mask % 0, "w") as f:
+        f.write(" ".join(str(v) for v in inv.flatten(order="F")))
+    ft = make_tracker(cfg_with({"type": "file", "pose_mask": mask}), W, H)
+    assert isinstance(ft, FileBasedTracker)
+    pose, q = ft.track(np.eye(4, dtype=np.float32), None, None, cam.K)
+    assert q == TrackerQuality.GOOD
+    np.testing.assert_allclose(pose, cam.c2w, atol=1e-5)
+    # missing file on the next frame: FAILED, counter advanced
+    pose, q = ft.track(pose, None, None, cam.K)
+    assert q == TrackerQuality.FAILED and ft.frame == 2
+
+
 def test_tracking_quality_degrades_on_garbage(tmp_path):
     """Feed the tracker frames whose depth is mostly destroyed: the
     quality gate must degrade (no GOOD verdicts), reach FAILED, and the
