@@ -93,8 +93,14 @@ def main() -> None:
     iter_idx = jnp.arange(iters, dtype=jnp.int32) % 9
     opt_cap = int(os.environ.get("OPT_CAP", "0")) or model.opt_cap(
         extra=0, cached=True)
+    impl = os.environ.get("OPT_IMPL", "")
+    if impl:
+        import dataclasses
+
+        model.statics = dataclasses.replace(model.statics, splat_impl=impl)
     m = cfg.model
-    print(f"N={N} opt_cap={opt_cap} iters={iters} {W}x{H}")
+    print(f"N={N} opt_cap={opt_cap} iters={iters} {W}x{H} "
+          f"impl={model.statics.splat_impl}")
 
     def run():
         # window_optimize donates its pool arg — hand it a fresh copy
