@@ -67,8 +67,12 @@ def main() -> None:
     cfg_dict["TPU"] = {
         "gaussian_capacity": 2 ** 18, "hash_size": 2 ** 21,
         "block_capacity": 2 ** 17, "visible_block_capacity": 2 ** 13,
-        "max_isects": 2 ** 20, "tile_gaussian_cap": 128,
-        "raycast_lb": 16, "tiles_per_gaussian_cap": 16,
+        # 64-deep tile lists + 3x3 tile spans: the r4 trace showed the
+        # splat kernels + segment-sum gathers scale with A*L (19.3 ->
+        # 11.8 ms/iter at the micro-bench); the psnr/ssim fields of the
+        # output line and the [BIN OVERFLOW] counter audit the caps
+        "max_isects": 2 ** 20, "tile_gaussian_cap": 64,
+        "raycast_lb": 16, "tiles_per_gaussian_cap": 9,
         # the 8192 cap covers this scene's visible set (PSNR in the output
         # line audits it: 24.49, identical to the 2^14 run) — skip the
         # nearest-first overflow sort's ~5 ms/frame

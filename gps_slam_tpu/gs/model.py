@@ -328,7 +328,15 @@ def window_optimize(
             else jax.lax.dynamic_update_slice_in_dim(v, cparams[k], 0, axis=0))
         for k, v in pool.params.items()
     }
-    return pool.with_params(new_params), {"loss_hist": loss_hist}
+    return pool.with_params(new_params), {
+        "loss_hist": loss_hist,
+        # binning-cap audit (no silent caps): pairs dropped by the L-deep
+        # tile lists, gaussians whose tile bbox was clipped, active tiles
+        # beyond the cap — summed over the window's cameras
+        "n_tile_overflow": jnp.sum(bins.n_tile_overflow),
+        "n_span_overflow": jnp.sum(bins.n_span_overflow),
+        "n_active_overflow": jnp.sum(bins.n_active_overflow),
+    }
 
 
 class _TxCfg(NamedTuple):

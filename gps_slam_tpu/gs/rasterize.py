@@ -207,14 +207,20 @@ def bin_gaussians_active(
     l = jnp.arange(tile_cap, dtype=jnp.int32)
     flat_idx = a_off[:, None] + l[None, :]                       # [A, L]
     valid = l[None, :] < a_cnt[:, None]
-    gids_a = gids_s[jnp.clip(flat_idx, 0, keys_s.shape[0] - 1)]
+    N = means2d.shape[0]
+    # invalid slots point at the NULL row N (_pack_attrs appends a zero
+    # row: opacity 0 -> alpha 0 < 1/255 -> excluded) — validity is then
+    # implicit in the list itself, so the splat kernels never touch a
+    # separate mask (the per-iteration [A, L, 16] validity-column write
+    # cost ~0.75 ms/iter in the round-4 trace)
+    gids_a = jnp.where(
+        valid, gids_s[jnp.clip(flat_idx, 0, keys_s.shape[0] - 1)], N)
 
     n_tile_overflow = jnp.sum(jnp.maximum(counts - tile_cap, 0))
     n_active = jnp.sum(active.astype(jnp.int32))
     n_active_overflow = jnp.maximum(n_active - active_cap, 0)
 
-    N = means2d.shape[0]
-    gidf = jnp.where(valid, gids_a, N).reshape(-1)         # [A*L]
+    gidf = gids_a.reshape(-1)                              # [A*L]
     AL = gidf.shape[0]
     # joint sort (no argsort-gather) + run-length segment boundaries.
     # jnp.searchsorted lowers to a serial while loop on TPU (57 ms per
@@ -242,7 +248,9 @@ def bin_gaussians_active(
 def _pack_attrs(means2d, conics, colors, gauss_depth, opacities):
     """One row per gaussian so the per-tile fetch is a contiguous row
     gather.  Layout: [xy(2) | conic(3) | colors(C) | depth(1) | opac(1) |
-    one(1) | pad to 16]."""
+    one(1) | pad to 16].  Row N (one past the last gaussian) is the NULL
+    row — all zeros, so opacity 0 kills any slot pointing at it (invalid
+    bin slots are sanitized to N at binning time)."""
     packed = jnp.concatenate(
         [means2d, conics, colors, gauss_depth[:, None], opacities[:, None],
          jnp.ones((means2d.shape[0], 1), means2d.dtype)], axis=1,
@@ -252,7 +260,8 @@ def _pack_attrs(means2d, conics, colors, gauss_depth, opacities):
         packed = jnp.concatenate(
             [packed, jnp.zeros((packed.shape[0], pad_cols), packed.dtype)], 1
         )
-    return packed
+    return jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], 0)
 
 
 def _pair_terms(g, vld, ref_t, px_t, py_t, C, delta_depth):
@@ -299,7 +308,7 @@ def _splat_fwd_impl(static, means2d, conics, colors, opacities, gauss_depth,
         from . import splat_pallas
 
         return splat_pallas.splat_fwd(
-            packed, valid, gids, px, py, ref_tiles, delta_depth, C,
+            packed, gids, px, py, ref_tiles, delta_depth, C,
             impl == "pallas_interpret",
         )
     n_chunks = A_pad // chunk
@@ -365,7 +374,7 @@ def _ges_splat_bwd(static, res, v_out):
         from . import splat_pallas
 
         contribs = splat_pallas.splat_bwd(
-            packed, valid, gids, px, py, ref_tiles, v_out, delta_depth, C,
+            packed, gids, px, py, ref_tiles, v_out, delta_depth, C,
             impl == "pallas_interpret",
         )[..., :K]
         return _segment_to_grads(contribs, pair_order, seg_lo, seg_hi,
@@ -508,7 +517,7 @@ def ges_rasterize_active(
         ) if A_pad > A else x
 
     tiles = pad_a(bins.tiles, fill=T)
-    gids = pad_a(bins.gids)
+    gids = pad_a(bins.gids, fill=means2d.shape[0])  # null row (see _pack_attrs)
     valid = pad_a(bins.valid, fill=False)
 
     ref_pad = jnp.pad(

@@ -41,7 +41,10 @@ GMIN_ALPHA = 1.0 / 255.0
 
 def _pair_core(g, px, py, ref, C, delta_depth):
     """Shared forward recomputation: returns (w, e, raw_alpha, live_mask,
-    dx, dy, cnA, cnB) with every array [L, P] or [L, 1]."""
+    dx, dy, cnA, cnB) with every array [L, P] or [L, 1].  Validity is
+    implicit: invalid slots were sanitized to the null attribute row
+    (opacity 0) at binning time, so the alpha >= 1/255 test excludes
+    them — no separate mask column."""
     x = g[:, 0:1]
     y = g[:, 1:2]
     cnA = g[:, 2:3]
@@ -49,7 +52,6 @@ def _pair_core(g, px, py, ref, C, delta_depth):
     cnC = g[:, 4:5]
     gd = g[:, 5 + C:6 + C]
     op = g[:, 6 + C:7 + C]
-    vld = g[:, 8 + C:9 + C]          # {0, 1} validity written by the host
 
     dx = x - px                       # [L, P]
     dy = y - py
@@ -58,8 +60,7 @@ def _pair_core(g, px, py, ref, C, delta_depth):
     raw_alpha = op * e
     alpha = jnp.minimum(raw_alpha, 0.999)
     keep = (
-        (vld > 0.5)
-        & (sigma >= 0.0)
+        (sigma >= 0.0)
         & (alpha >= GMIN_ALPHA)
         & (gd <= ref + delta_depth)
     )
@@ -119,22 +120,21 @@ def _bwd_kernel(g_ref, pix_ref, vo_ref, contrib_ref, *, C, CT, delta_depth):
         contrib_ref[c] = out
 
 
-def _prep(packed, valid, gids, px, py, ref_tiles, C):
+def _prep(packed, gids, px, py, ref_tiles):
     """Gather per-tile attribute rows and stack the pixel-plane inputs.
-    packed: [N, >=9+C] from rasterize._pack_attrs (lane-padded); the
-    validity flag is folded into column 8+C as {0, 1}."""
+    packed: [N+1, >=9+C] from rasterize._pack_attrs (lane-padded, null row
+    last); invalid slots carry gid N, so no validity column is needed."""
     g = packed[gids]                                    # [A, L, cols] rows
-    g = g.at[..., 8 + C].set(valid.astype(g.dtype))
     pix = jnp.stack(
         [px, py, ref_tiles, jnp.zeros_like(px)], axis=1)  # [A, 4, P]
     return g, pix
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8))
-def splat_fwd(packed, valid, gids, px, py, ref_tiles, delta_depth, C,
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def splat_fwd(packed, gids, px, py, ref_tiles, delta_depth, C,
               interpret=False):
     """[A, C+1, P] channel-major tile sums."""
-    g, pix = _prep(packed, valid, gids, px, py, ref_tiles, C)
+    g, pix = _prep(packed, gids, px, py, ref_tiles)
     A, L, cols = g.shape
     P = px.shape[1]
     CT = 8
@@ -154,13 +154,13 @@ def splat_fwd(packed, valid, gids, px, py, ref_tiles, delta_depth, C,
     )(g, pix)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9))
-def splat_bwd(packed, valid, gids, px, py, ref_tiles, v_out_t, delta_depth,
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def splat_bwd(packed, gids, px, py, ref_tiles, v_out_t, delta_depth,
               C, interpret=False):
     """Per-pair gradient components reduced over pixels: [A, L, 16]
     (columns 0..5+C used: v_x v_y v_ca v_cb v_cc v_ce[0..C-1] v_op).
     v_out_t: [A, C+1, P] channel-major cotangent."""
-    g, pix = _prep(packed, valid, gids, px, py, ref_tiles, C)
+    g, pix = _prep(packed, gids, px, py, ref_tiles)
     A, L, cols = g.shape
     P = px.shape[1]
     CT = 8

@@ -125,6 +125,7 @@ class SLAMPipeline:
         self.scene_scale = 1.0
         self._pose_idx: dict[int, int] = {}  # cam.id -> cam_poses index
         self._spawn_overflow = None  # device i32: spawn samples clipped by max_new
+        self._bin_overflow = None    # device i32: optimizer binning-cap drops
         # LOG_PIPELINE_TIME equivalent (slam_pipeline.cpp:7,54-66): the
         # reference brackets each phase with cudaDeviceSynchronize; the
         # only true sync over the axon tunnel is a value fetch
@@ -313,6 +314,17 @@ class SLAMPipeline:
             mem_mb = int(stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) // 2**20)
         except Exception:
             pass
+        if mem_mb == 0:
+            # memory_stats() returns nothing over the axon tunnel — fall
+            # back to summing live device buffers (committed arrays only;
+            # an under-estimate of peak, but a real number instead of the
+            # dead 0 the NVML column would otherwise report)
+            try:
+                mem_mb = int(sum(
+                    x.size * x.dtype.itemsize for x in jax.live_arrays()
+                ) // 2**20)
+            except Exception:
+                pass
         overflow = (
             int(self._spawn_overflow) if self._spawn_overflow is not None else 0
         )
@@ -323,11 +335,18 @@ class SLAMPipeline:
         if overflow > 0:
             print(f"[SPAWN OVERFLOW] {overflow} masked samples beyond "
                   f"max_new_gaussians were dropped")
+        bin_overflow = (
+            int(self._bin_overflow) if self._bin_overflow is not None else 0
+        )
+        if bin_overflow > 0:
+            print(f"[BIN OVERFLOW] {bin_overflow} optimizer binning entries "
+                  f"dropped by tile/span/active caps")
         os.makedirs(self.workspace_dir, exist_ok=True)
         with open(os.path.join(self.workspace_dir, "time_log.txt"), "w") as f:
             f.write(line)
             f.write(f"GPU memory usage: {mem_mb} MB\n")
             f.write(f"Spawn overflow: {overflow}\n")
+            f.write(f"Bin overflow: {bin_overflow}\n")
 
     # --------------------------------------------------------------- windows
 
@@ -543,6 +562,12 @@ class SLAMPipeline:
         )
         self.curr_iter += p.local_opt_iters
         self._last_loss_hist = aux["loss_hist"]
+        # accumulate binning-cap overflows device-side; fetched once in
+        # write_time_log (no per-window sync)
+        ofl = (aux["n_tile_overflow"] + aux["n_span_overflow"]
+               + aux["n_active_overflow"])
+        self._bin_overflow = (
+            ofl if self._bin_overflow is None else self._bin_overflow + ofl)
         if self._tb is not None and p.log_slam_state:
             hist = np.asarray(aux["loss_hist"])
             for k, v in enumerate(hist):

@@ -373,7 +373,7 @@ class TsdfEngine:
             return spatial.raycast_sharded(
                 self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
                 width, height, p.raycast_lb, p.raycast_samples,
-                max(p.raycast_bisect, 8), p.raycast_chunk,
+                max(p.raycast_bisect, 5), p.raycast_chunk,
             )
         if self._use_pallas_raycast():
             from . import raycast_pallas as rc_pallas
@@ -381,12 +381,14 @@ class TsdfEngine:
             return rc_pallas.raycast(
                 self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
                 width, height, p.raycast_lb, p.raycast_samples,
-                max(p.raycast_bisect, 8), 2 if quality else 1, 8,
+                max(p.raycast_bisect, 5), 2 if quality else 1, 8,
+                pool_prefix=self._pool_prefix(),
             )
         return rc_tiles.raycast(
             self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
             width, height, p.raycast_lb, p.raycast_samples,
-            max(p.raycast_bisect, 8), p.raycast_chunk,
+            max(p.raycast_bisect, 5), p.raycast_chunk,
+            pool_prefix=self._pool_prefix(),
         )
 
     def run_raycast_batch(self, c2ws: np.ndarray, K: np.ndarray | None = None,
@@ -410,12 +412,14 @@ class TsdfEngine:
             return rc_pallas.raycast_batch(
                 self.vol, jnp.asarray(c2ws), K_dev,
                 self.width, self.height, p.raycast_lb, p.raycast_samples,
-                max(p.raycast_bisect, 8), 2 if quality else 1, 8,
+                max(p.raycast_bisect, 5), 2 if quality else 1, 8,
+                pool_prefix=self._pool_prefix(),
             )
         return rc_tiles.raycast_batch(
             self.vol, jnp.asarray(c2ws), K_dev,
             self.width, self.height, p.raycast_lb, p.raycast_samples,
-            max(p.raycast_bisect, 8), p.raycast_chunk,
+            max(p.raycast_bisect, 5), p.raycast_chunk,
+            pool_prefix=self._pool_prefix(),
         )
 
     def _use_pallas_raycast(self) -> bool:

@@ -55,10 +55,6 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
     tile in the LANE dimension ([*, P]); cube payloads are selected into
     [512, P] so the separable trilinear stages are sublane reshapes."""
     iota_lb = jax.lax.broadcasted_iota(jnp.int32, (LB, P), 0).astype(jnp.float32)
-    i512 = jax.lax.broadcasted_iota(jnp.int32, (512, P), 0)
-    kz = (i512 // 64).astype(jnp.float32)
-    ky = ((i512 // 8) % 8).astype(jnp.float32)
-    kx = (i512 % 8).astype(jnp.float32)
 
     for c in range(C):
         d = dirs_ref[c]                       # [3, P] f32
@@ -198,9 +194,20 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
             an = to_full(anq)
             dt = (t1s - t0s) / s_coarse
             ts_neg = t0s + (sf + 0.5) * dt
+            # SINGLE bracket stage + secant (the two-stage bracket of
+            # rounds 2-3 spent 17 tri evals/pixel; the TSDF is LINEAR in
+            # depth inside the +-mu truncation band by construction, so
+            # once adjacent samples bracket the crossing the secant step
+            # is already sub-voxel-exact — measured vs the XLA two-stage
+            # oracle: hit-mask xor ~0.3%, depth delta well under a voxel).
+            # The mip bracket is widened to 2 coarse spacings to absorb
+            # mip-vs-fine smoothing error; no-mip-crossing pixels sample
+            # the whole block segment (s_refine samples over <= ~2 block
+            # diagonals keeps adjacent samples within the linear band).
             lo0 = jnp.where(an > 0,
-                            jnp.maximum(ts_neg - 1.25 * dt, t0s), t0s)
-            hi0 = jnp.where(an > 0, ts_neg + 0.25 * dt, t1s)
+                            jnp.maximum(ts_neg - 1.5 * dt, t0s), t0s)
+            hi0 = jnp.where(an > 0,
+                            jnp.minimum(ts_neg + 0.5 * dt, t1s), t1s)
 
             def stage(lo, hi, virtual_entry):
                 """s_refine samples over [lo, hi]; record the first
@@ -262,21 +269,33 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
         found = found & (candidate > 0)
 
         # ---- final trilinear confidence/color via one-hot selection ----
+        # separable contractions against the selected [8,8,8,P] cubes
+        # (building the [512, P] weight vector explicitly costs ~0.65M VPU
+        # ops/tile; three hat rows + per-cube u1/u2/u3 sums cost ~0.3M per
+        # read and share the hat rows across the 4 reads)
         bxw = jnp.sum(ohl_win * borg[:, 0:1], 0, keepdims=True)
         byw = jnp.sum(ohl_win * borg[:, 1:2], 0, keepdims=True)
         bzw = jnp.sum(ohl_win * borg[:, 2:3], 0, keepdims=True)
         lx = jnp.clip((dx * t_star - bxw) * inv_vox, 0.0, BLOCK - 1.0)
         ly = jnp.clip((dy * t_star - byw) * inv_vox, 0.0, BLOCK - 1.0)
         lz = jnp.clip((dz * t_star - bzw) * inv_vox, 0.0, BLOCK - 1.0)
-        wvec = (jnp.maximum(0.0, 1.0 - jnp.abs(lx - kx))
-                * jnp.maximum(0.0, 1.0 - jnp.abs(ly - ky))
-                * jnp.maximum(0.0, 1.0 - jnp.abs(lz - kz)))   # [512, P]
+        i8 = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0).astype(jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - i8))          # [8, P]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly - i8))
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - i8))
+
+        def tri3(rows):
+            """[512, P] voxel rows (id = x + 8y + 64z) -> trilinear [1, P]."""
+            cube = rows.reshape(8, 8, 8, P)                    # [z, y, x, P]
+            u1 = jnp.sum(cube * wx[None, None], axis=2)        # [8, 8, P]
+            u2 = jnp.sum(u1 * wy[None], axis=1)                # [8, P]
+            return jnp.sum(u2 * wz, axis=0, keepdims=True)     # [1, P]
 
         ohw = ohl_win.astype(jnp.bfloat16)
         w_sel = jax.lax.dot_general(
             w_ref[c], ohw, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # [512, P]
-        conf = jnp.sum(wvec * w_sel, 0, keepdims=True)
+        conf = tri3(w_sel)
         c_sel = jax.lax.dot_general(
             col_ref[c], ohw, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # [1536, P]
@@ -284,15 +303,14 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
         out_ref[c, 0] = (t_star * fm)[0]
         out_ref[c, 1] = ((conf + 1.0) * fm)[0]
         for ch in range(3):
-            col_ch = jnp.sum(wvec * c_sel[ch * 512:(ch + 1) * 512], 0,
-                             keepdims=True) * (1.0 / 255.0)
+            col_ch = tri3(c_sel[ch * 512:(ch + 1) * 512]) * (1.0 / 255.0)
             out_ref[c, 2 + ch] = (col_ch * fm)[0]
         out_ref[c, 5] = fm[0]
         out_ref[c, 6] = jnp.zeros((P,), jnp.float32)
         out_ref[c, 7] = jnp.zeros((P,), jnp.float32)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def raycast(
     vol: TsdfVolume,
     c2w: jax.Array,
@@ -305,6 +323,7 @@ def raycast(
     k_blocks: int = 2,
     tiles_per_step: int = 4,
     interpret: bool = False,
+    pool_prefix: int | None = None,
 ):
     """Drop-in replacement for raycast_tiles.raycast (same output dict)."""
     p = vol.params
@@ -323,6 +342,7 @@ def raycast(
     gids, valid, n_overflow = _tile_bins(
         vol, w2c, fx, fy, cx, cy, width, height,
         vis_cap=p.visible_capacity, lb=lb, span_cap=6,
+        pool_prefix=pool_prefix,
     )
 
     # payload row gathers (contiguous rows; i16 HBM traffic, bf16 once
@@ -436,7 +456,7 @@ def raycast(
     }
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def raycast_batch(
     vol: TsdfVolume,
     c2ws: jax.Array,  # [M, 4, 4]
@@ -449,6 +469,7 @@ def raycast_batch(
     k_blocks: int = 2,
     tiles_per_step: int = 4,
     interpret: bool = False,
+    pool_prefix: int | None = None,
 ):
     """`raycast` scanned over M poses — stacked [M, ...] map dict in ONE
     device program.  An optimization window's raycasts (local window +
@@ -459,7 +480,8 @@ def raycast_batch(
 
     def body(_, c2w):
         return None, raycast(vol, c2w, K, width, height, lb, s_coarse,
-                             s_refine, k_blocks, tiles_per_step, interpret)
+                             s_refine, k_blocks, tiles_per_step, interpret,
+                             pool_prefix)
 
     _, maps = jax.lax.scan(body, None, c2ws)
     return maps

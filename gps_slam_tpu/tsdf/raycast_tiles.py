@@ -62,19 +62,22 @@ def _tile_bins(
     vis_cap: int,
     lb: int,
     span_cap: int,
+    pool_prefix: int | None = None,
 ):
     """Per-tile surface-block lists (tile order only — per-pixel depth
     ranking happens in the march).  Returns (gids [T, LB], valid [T, LB],
-    n_overflow)."""
+    n_overflow).  `pool_prefix` bounds the surface scan to the allocated
+    prefix bucket (see integrate.visible_blocks) — the pool allocator is
+    a cursor, so rows >= n_blocks are never surface blocks."""
     p = vol.params
     tw = -(-width // TILE)
     th = -(-height // TILE)
     T = tw * th
-    B = p.block_capacity
+    B = pool_prefix if pool_prefix is not None else p.block_capacity
 
     allocated = jnp.arange(B) < vol.n_blocks
-    surf = allocated & (vol.block_max_w > 0) & (vol.block_min_sdf < 0.99)
-    bx, by, bz = vhash.unpack(vol.block_coords)
+    surf = allocated & (vol.block_max_w[:B] > 0) & (vol.block_min_sdf[:B] < 0.99)
+    bx, by, bz = vhash.unpack(vol.block_coords[:B])
     corner = jnp.stack([bx, by, bz], -1).astype(jnp.float32) * (p.voxel_size * BLOCK)
     center = corner + 0.5 * p.voxel_size * BLOCK
     cc = mm(center, w2c[:3, :3].T) + w2c[:3, 3]
@@ -128,43 +131,59 @@ def _tile_bins(
 
     flat_gid = gid.reshape(-1)
     if T < 4096:
-        # ONE sort on a combined key: tile id (12 bits) | quantized block
-        # depth (20 bits).  Depth order within each tile makes the lb
-        # clipping keep the NEAREST blocks — overflow then only drops far
-        # (occluded) candidates, mirroring the reference's per-tile
-        # depth-sorted intersection lists (isect_tiles.cu).
+        # ONE multi-operand sort on a combined key: tile id (12 bits) |
+        # quantized block depth (20 bits), carrying the gid payload
+        # THROUGH the sort (argsort + permutation gathers ran on the
+        # scalar core at ~2 ms each per camera in the round-4 trace).
+        # Depth order within each tile makes the lb clipping keep the
+        # NEAREST blocks — overflow then only drops far (occluded)
+        # candidates, mirroring the reference's per-tile depth-sorted
+        # intersection lists (isect_tiles.cu).
         zq = jnp.clip(
             zc[vsafe] / p.frustum_max * ((1 << 20) - 1), 0, (1 << 20) - 1
         ).astype(jnp.uint32)
         combined = (
             tile_id.astype(jnp.uint32) << 20
         ) | jnp.broadcast_to(zq[:, None], tile_id.shape)
-        order = jnp.argsort(combined.reshape(-1))
-        keys_s = (combined.reshape(-1) >> 20).astype(jnp.int32)[order]
+        comb_s, gids_s = jax.lax.sort(
+            (combined.reshape(-1), flat_gid), num_keys=1, is_stable=True)
+        keys_s = (comb_s >> 20).astype(jnp.int32)
     else:
         # wide-image fallback: tile ids no longer fit 12 bits -> two-pass
-        # stable sort (depth, then tile)
+        # stable sort (depth, then tile), payload carried through both
         zkey = jax.lax.bitcast_convert_type(
             jnp.maximum(zc[vsafe], 0.0), jnp.int32
         )
         zs = jnp.broadcast_to(zkey[:, None], tile_id.shape).reshape(-1)
         flat_tile = tile_id.reshape(-1)
-        o1 = jnp.argsort(zs)
-        o2 = jnp.argsort(flat_tile[o1], stable=True)
-        order = o1[o2]
-        keys_s = flat_tile[order]
-    gids_s = flat_gid[order]
-    offsets = jnp.searchsorted(keys_s, jnp.arange(T + 1, dtype=jnp.int32))
-    counts = offsets[1:] - offsets[:-1]
+        _, t1s, g1s = jax.lax.sort(
+            (zs, flat_tile, flat_gid), num_keys=1, is_stable=True)
+        keys_s, gids_s = jax.lax.sort(
+            (t1s, g1s), num_keys=1, is_stable=True)
+    # per-tile [start, count] via run-length boundaries (first-flag + two
+    # O(T) scatters) — jnp.searchsorted lowers to a serial while loop of
+    # scalar-core gathers on TPU (see rasterize._bin_pairs)
+    P_len = keys_s.shape[0]
+    firstk = jnp.concatenate(
+        [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
+    kstarts, = jnp.nonzero(firstk, size=T + 1, fill_value=P_len)
+    kstarts = kstarts.astype(jnp.int32)
+    ksval = jnp.where(
+        kstarts < P_len, keys_s[jnp.minimum(kstarts, P_len - 1)], T)
+    kends = jnp.concatenate([kstarts[1:], jnp.full((1,), P_len, jnp.int32)])
+    counts = jnp.zeros(T, jnp.int32).at[ksval].set(
+        kends - kstarts, mode="drop")
+    tile_start = jnp.full(T, P_len, jnp.int32).at[ksval].set(
+        kstarts, mode="drop")
     l = jnp.arange(lb, dtype=jnp.int32)
-    flat_idx = offsets[:-1, None] + l[None]
+    flat_idx = tile_start[:, None] + l[None]
     valid = l[None] < counts[:, None]
-    gids_t = gids_s[jnp.clip(flat_idx, 0, keys_s.shape[0] - 1)]
+    gids_t = gids_s[jnp.clip(flat_idx, 0, P_len - 1)]
     n_overflow = jnp.sum(jnp.maximum(counts - lb, 0)) + jnp.sum(span_overflow)
     return gids_t, valid, n_overflow
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def raycast(
     vol: TsdfVolume,
     c2w: jax.Array,
@@ -176,6 +195,7 @@ def raycast(
     s_refine: int = 8,      # samples per batched refinement stage (2 stages)
     chunk: int = 32,        # tiles per scan step
     k_blocks: int = 2,      # candidate blocks refined per pixel
+    pool_prefix: int | None = None,
 ):
     """Returns the same map dict as the legacy hash-march raycaster."""
     p = vol.params
@@ -194,6 +214,7 @@ def raycast(
     gids, valid, n_overflow = _tile_bins(
         vol, w2c, fx, fy, cx, cy, width, height,
         vis_cap=p.visible_capacity, lb=lb, span_cap=6,
+        pool_prefix=pool_prefix,
     )
 
     # row-gathered tile payloads (cast to bf16 once, outside the scan)
@@ -474,7 +495,7 @@ def raycast(
     }
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def raycast_batch(
     vol: TsdfVolume,
     c2ws: jax.Array,  # [M, 4, 4]
@@ -486,13 +507,14 @@ def raycast_batch(
     s_refine: int = 8,
     chunk: int = 32,
     k_blocks: int = 2,
+    pool_prefix: int | None = None,
 ):
     """`raycast` scanned over M poses — stacked [M, ...] map dict in one
     device program (see raycast_pallas.raycast_batch for the rationale)."""
 
     def body(_, c2w):
         return None, raycast(vol, c2w, K, width, height, lb, s_coarse,
-                             s_refine, chunk, k_blocks)
+                             s_refine, chunk, k_blocks, pool_prefix)
 
     _, maps = jax.lax.scan(body, None, c2ws)
     return maps

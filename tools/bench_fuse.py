@@ -58,7 +58,12 @@ def main() -> None:
     cfg_dict["TPU"] = {
         "gaussian_capacity": 2 ** 14, "hash_size": 2 ** 21,
         "block_capacity": 2 ** 17, "visible_block_capacity": 2 ** 13,
-        "raycast_lb": 16, "visible_sort_overflow": False,
+        "raycast_lb": int(os.environ.get("RAY_LB", "16")),
+        "raycast_samples": int(os.environ.get("RAY_SAMPLES", "4")),
+        "alloc_steps": int(os.environ.get("ALLOC_STEPS", "4")),
+        "alloc_candidate_cap": int(os.environ.get("ALLOC_CAP", str(2 ** 15))),
+        "raycast_bisect": int(os.environ.get("RAY_BISECT", "6")),
+        "visible_sort_overflow": False,
     }
     cfg = Config.from_dict(cfg_dict)
     os.makedirs(cfg.workspace_dir, exist_ok=True)
@@ -134,6 +139,21 @@ def main() -> None:
         _fetch(maps["depth_map"][0, 0, 0])
         dt = (time.monotonic() - t0) * 1000 / ray_m
         print(f"[raycast batch M={ray_m} {tag}] {dt:.2f} ms/camera", flush=True)
+
+    # quality audit at the current knob settings: depth-vs-gt on the
+    # window-quality (k=1) march — makes every raycast speed experiment
+    # auditable from the same run
+    cam = cams[n_frames // 2]
+    maps = eng.run_raycast(poses[n_frames // 2], quality=False)
+    d = np.asarray(maps["depth_map"])[..., 0]
+    gt = np.asarray(cam.depth)[..., 0]
+    hit = d > 0
+    err = np.abs(d - gt)[hit & (gt > 0)]
+    cerr = np.abs(np.asarray(maps["color_map"])[hit] - cam.image[hit]).mean()
+    print(f"[raycast quality] hit={hit.mean():.4f} "
+          f"med_err={np.median(err) * 1000:.3f}mm "
+          f"p99_err={np.quantile(err, 0.99) * 1000:.2f}mm "
+          f"color_err={cerr:.4f}", flush=True)
 
 
 if __name__ == "__main__":

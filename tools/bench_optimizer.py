@@ -50,8 +50,9 @@ def main() -> None:
     cfg_dict["MODEL"].update(sh_degree=3)
     cfg_dict["TPU"] = {
         "gaussian_capacity": 2 ** 18, "max_isects": 2 ** 20,
-        "tile_gaussian_cap": 128, "tiles_per_gaussian_cap": 16,
-        "active_tile_cap": 2048,
+        "tile_gaussian_cap": int(os.environ.get("OPT_TILE_CAP", "128")),
+        "tiles_per_gaussian_cap": int(os.environ.get("OPT_TPG", "16")),
+        "active_tile_cap": int(os.environ.get("OPT_ACT_CAP", "2048")),
     }
     cfg = Config.from_dict(cfg_dict)
     os.makedirs(cfg.workspace_dir, exist_ok=True)
@@ -95,9 +96,11 @@ def main() -> None:
         extra=0, cached=True)
     impl = os.environ.get("OPT_IMPL", "")
     if impl:
-        import dataclasses
-
-        model.statics = dataclasses.replace(model.statics, splat_impl=impl)
+        valid = ("xla", "pallas", "pallas_interpret")
+        if impl not in valid:
+            raise SystemExit(
+                f"OPT_IMPL={impl!r} not in {valid}")
+        model.statics = model.statics._replace(splat_impl=impl)
     m = cfg.model
     print(f"N={N} opt_cap={opt_cap} iters={iters} {W}x{H} "
           f"impl={model.statics.splat_impl}")

@@ -107,8 +107,8 @@ def run_loop(n_frames: int, width: int, height: int, trace_dir: str) -> None:
     cfg_dict["TPU"] = {
         "gaussian_capacity": 2 ** 18, "hash_size": 2 ** 21,
         "block_capacity": 2 ** 17, "visible_block_capacity": 2 ** 13,
-        "max_isects": 2 ** 20, "tile_gaussian_cap": 128,
-        "raycast_lb": 16, "tiles_per_gaussian_cap": 16,
+        "max_isects": 2 ** 20, "tile_gaussian_cap": 64,
+        "raycast_lb": 16, "tiles_per_gaussian_cap": 9,
         "visible_sort_overflow": False,
     }
     cfg = Config.from_dict(cfg_dict)
