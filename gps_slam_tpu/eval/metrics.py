@@ -63,6 +63,11 @@ def lpips(a: np.ndarray, b: np.ndarray):
     be importable; when it is not, returns None — callers serialize that
     as JSON null and MUST NOT compare against published LPIPS numbers.
 
+    Resolution order: the `lpips` torch package if importable, else the
+    JAX re-implementation (eval/lpips_jax.py) with locally converted
+    weights ($LPIPS_WEIGHTS / ~/.cache/gps_slam_tpu/lpips_vgg.npz, see
+    tools/convert_lpips_weights.py), else None + one loud warning.
+
     Deliberately NO silent stand-in: an unweighted VGG feature distance is
     a different metric and reporting it under the LPIPS name would make
     quality comparisons wrong.  `vgg_perceptual` below exposes that
@@ -76,19 +81,15 @@ def lpips(a: np.ndarray, b: np.ndarray):
 
             _LPIPS = (lpips_pkg.LPIPS(net="vgg"), torch)
         except Exception:
-            import sys
+            from . import lpips_jax
 
-            print(
-                "[metrics] WARNING: the `lpips` package (learned "
-                "LPIPS(vgg) weights) is not available — LPIPS will be "
-                "reported as null.  Do not compare against published "
-                "LPIPS numbers without it.",
-                file=sys.stderr,
-            )
-            _LPIPS = None
+            net = lpips_jax.get()  # warns once when weights are absent
+            _LPIPS = (net, None) if net is not None else None
     if _LPIPS is None:
         return None
     net, torch = _LPIPS
+    if torch is None:  # lpips_jax path
+        return float(net(np.asarray(a, np.float32), np.asarray(b, np.float32)))
     ta = torch.from_numpy(np.asarray(a, np.float32)).permute(2, 0, 1)[None]
     tb = torch.from_numpy(np.asarray(b, np.float32)).permute(2, 0, 1)[None]
     with torch.no_grad():

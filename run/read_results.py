@@ -37,6 +37,8 @@ def parse_time_log(file_path):
             with open(json_path) as jf:
                 data = json.load(jf)
             ssim, psnr, lpips = data.get("SSIM"), data.get("PSNR"), data.get("LPIPS")
+            if not isinstance(lpips, (int, float)):
+                lpips = None  # "unavailable" marker
         except Exception as e:
             print(f"Error reading {json_path}: {e}")
     res = {

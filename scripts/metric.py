@@ -46,7 +46,9 @@ def evaluate(input_path):
     full = {
         "SSIM": float(np.mean(ssims)) if ssims else None,
         "PSNR": float(np.mean(psnrs)) if psnrs else None,
-        "LPIPS": float(np.mean(lpipss)) if has_lpips else None,
+        # explicit marker, not a silent null: no local LPIPS weights
+        # (see gps_slam_tpu/eval/lpips_jax.py + tools/convert_lpips_weights.py)
+        "LPIPS": float(np.mean(lpipss)) if has_lpips else "unavailable",
     }
     per_view = {
         "SSIM": dict(zip(names, map(float, ssims))),
@@ -55,7 +57,7 @@ def evaluate(input_path):
     }
     print("  SSIM : {:>12.7f}".format(full["SSIM"] or float("nan")))
     print("  PSNR : {:>12.7f}".format(full["PSNR"] or float("nan")))
-    if full["LPIPS"] is not None:
+    if isinstance(full["LPIPS"], float):
         print("  LPIPS: {:>12.7f}".format(full["LPIPS"]))
     with open(os.path.join(input_path, "results.json"), "w") as f:
         json.dump(full, f, indent=True)

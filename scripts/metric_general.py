@@ -42,7 +42,9 @@ def evaluate(render_dir, dataset_dir, image_path="camera", depth_path="depth",
     full = {
         "SSIM": float(np.mean(ssims)) if ssims else None,
         "PSNR": float(np.mean(psnrs)) if psnrs else None,
-        "LPIPS": float(np.mean(lpipss)) if has_lpips else None,
+        # explicit marker, not a silent null: no local LPIPS weights
+        # (see gps_slam_tpu/eval/lpips_jax.py + tools/convert_lpips_weights.py)
+        "LPIPS": float(np.mean(lpipss)) if has_lpips else "unavailable",
     }
     print(full)
     with open(os.path.join(render_dir, "..", "results.json"), "w") as f:

@@ -2,6 +2,7 @@
 prefetcher, offline ges trainer."""
 
 import json
+import os
 import socket
 import struct
 import threading
@@ -146,3 +147,97 @@ def test_offline_ges_trainer(tmp_path):
                 - jnp.asarray(cams[0].image)).mean()
     )
     assert l_after < l_before
+
+
+def test_lpips_jax_math(tmp_path, monkeypatch):
+    """lpips_jax forward vs a plain-numpy oracle on random weights — tests
+    the architecture plumbing (conv/relu/pool/taps/normalize/heads), not
+    the metric values (which need the real pretrained weights)."""
+    import numpy as np
+
+    from gps_slam_tpu.eval import lpips_jax
+
+    rng = np.random.default_rng(7)
+    w = lpips_jax.random_weights(rng)
+    # round-trip through the npz loader path
+    np.savez(tmp_path / "w.npz", **w)
+    monkeypatch.setenv("LPIPS_WEIGHTS", str(tmp_path / "w.npz"))
+    lpips_jax._CACHED = None
+    net = lpips_jax.get()
+    assert net is not None and lpips_jax.available()
+
+    H = W = 32
+    a = rng.uniform(size=(H, W, 3)).astype(np.float32)
+    b = rng.uniform(size=(H, W, 3)).astype(np.float32)
+
+    # identity and symmetry
+    assert abs(net(a, a)) < 1e-6
+    assert abs(net(a, b) - net(b, a)) < 1e-5
+    assert net(a, b) > 0
+
+    # numpy oracle
+    def conv3(x, k, bias):  # x [H,W,C], k [3,3,ci,co]
+        xp = np.pad(x, ((1, 1), (1, 1), (0, 0)))
+        out = np.zeros((x.shape[0], x.shape[1], k.shape[3]), np.float32)
+        for dy in range(3):
+            for dx in range(3):
+                out += np.tensordot(
+                    xp[dy:dy + x.shape[0], dx:dx + x.shape[1]],
+                    k[dy, dx], axes=1)
+        return np.maximum(out + bias, 0.0)
+
+    def pool(x):
+        h, wdt = x.shape[0] // 2, x.shape[1] // 2
+        return x[:2 * h, :2 * wdt].reshape(h, 2, wdt, 2, -1).max((1, 3))
+
+    def oracle(x, y):
+        stages = lpips_jax._STAGES
+        shift, scale = lpips_jax._SHIFT, lpips_jax._SCALE
+        xs = [(im * 2 - 1 - shift) / scale for im in (x, y)]
+        total, n = 0.0, 0
+        for si, st in enumerate(stages):
+            for _ in st:
+                xs = [conv3(im, w[f"conv{n}_w"], w[f"conv{n}_b"]) for im in xs]
+                n += 1
+            na, nb = [im / np.sqrt((im ** 2).sum(-1, keepdims=True) + 1e-10)
+                      for im in xs]
+            total += (((na - nb) ** 2) * w[f"lin{si}_w"]).sum(-1).mean()
+            if si < len(stages) - 1:
+                xs = [pool(im) for im in xs]
+        return total
+
+    got, want = net(a, b), oracle(a, b)
+    assert abs(got - want) < 1e-3 * max(1.0, abs(want)), (got, want)
+    lpips_jax._CACHED = None
+
+
+def test_metrics_lpips_unavailable_marker(tmp_path):
+    """scripts/metric.py must write an explicit 'unavailable' marker, not
+    a silent null, when no LPIPS weights exist."""
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    try:
+        import cv2
+    except ImportError:
+        import pytest
+
+        pytest.skip("cv2 not available")
+    rd = tmp_path / "render"
+    gd = tmp_path / "gt"
+    rd.mkdir(), gd.mkdir()
+    img = (np.random.default_rng(0).uniform(size=(24, 32, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(rd / "000000.png"), img)
+    cv2.imwrite(str(gd / "000000.png"), img)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               LPIPS_WEIGHTS=str(tmp_path / "nonexistent.npz"))
+    subprocess.run(
+        [sys.executable, "scripts/metric.py", "-i", str(tmp_path)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, check=True, capture_output=True)
+    res = json.load(open(tmp_path / "results.json"))
+    assert res["LPIPS"] == "unavailable"
+    assert isinstance(res["PSNR"], float)
