@@ -320,6 +320,10 @@ class TpuConfig:
     # 0 = never sync inside the loop (the opt-frame bookkeeping and the
     # end-of-run fetch still drain the queue)
     host_sync_stride: int = 1
+    # cameras per batched eval-render dispatch (render_eval_imgs): one
+    # raycast program + one forward program per chunk, next chunk
+    # dispatched before this one's images are encoded
+    eval_chunk: int = 8
     # surface extraction: "mt" (marching tetrahedra) or "mc" (classic
     # 256-case marching cubes — reference-topology mode,
     # ITMMeshingEngine_Shared.h; table derived in tsdf/meshing.py)

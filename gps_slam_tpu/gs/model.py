@@ -230,6 +230,29 @@ ges_forward_jit = jax.jit(ges_forward, static_argnums=(7,))
 raw_forward_jit = jax.jit(raw_forward, static_argnums=(5,))
 
 
+@partial(jax.jit, static_argnums=(3,))
+def render_eval_batch(params, alive, cam_batch: dict, st: RenderStatics):
+    """Eval renders for a CHUNK of stacked cameras as ONE device program
+    (lax.map over ges_forward) — the batched path behind
+    SLAMPipeline.render_eval_imgs (renderEvalImgs, slam_pipeline.cpp:
+    588-695, whose per-camera loop costs one dispatch + sync each over a
+    high-latency host link).  cam_batch: stacked [M, ...] c2w/K/ref_depth/
+    base_color/cam_id.  Returns stacked rgb/alpha/depth."""
+
+    def one(cam):
+        res = ges_forward(
+            params, alive, cam["c2w"], cam["K"], cam["ref_depth"],
+            cam["base_color"], cam["cam_id"], st,
+        )
+        return {
+            "rgb": jnp.clip(res["rgb"], 0.0, 1.0),
+            "alpha": res["alpha"],
+            "depth": res["depth"],
+        }
+
+    return jax.lax.map(one, cam_batch)
+
+
 # ---------------------------------------------------------------------------
 # jitted training step over an optimization camera set
 # ---------------------------------------------------------------------------
@@ -518,16 +541,16 @@ class GaussianModel:
         slam_pipeline.cpp:202)."""
         self.opt_state = self.tx.init(self.pool.params)
 
-    def forward(self, c2w, K, ref_depth, base_color, cam_id: int = -1) -> dict:
-        ref = jnp.asarray(ref_depth)
-        if ref.ndim == 3:
-            ref = ref[..., 0]
+    def eval_slice(self, height: int | None = None, width: int | None = None):
+        """(params, alive, statics) with the compact-prefix cap slicing the
+        renderers rely on — shared by forward(), forward_batch() and the
+        DP eval path (parallel.mesh.dp_render_fn)."""
         st = self.statics
-        if ref.shape != (st.height, st.width):
+        if height is not None and (height, width) != (st.height, st.width):
             # off-size request (e.g. remote viewer): recompile for the new
             # resolution; RenderStatics is hashable so the jit cache keeps
             # one entry per distinct size
-            st = st._replace(height=ref.shape[0], width=ref.shape[1])
+            st = st._replace(height=height, width=width)
         cap = self.opt_cap()
         tile_w = -(-st.width // st.tile_size)
         tile_h = -(-st.height // st.tile_size)
@@ -541,11 +564,25 @@ class GaussianModel:
             st = st._replace(visible_cap=min(st.visible_cap, cap))
         else:
             params, alive = self.pool.params, self.pool.alive
+        return params, alive, st
+
+    def forward(self, c2w, K, ref_depth, base_color, cam_id: int = -1) -> dict:
+        ref = jnp.asarray(ref_depth)
+        if ref.ndim == 3:
+            ref = ref[..., 0]
+        params, alive, st = self.eval_slice(ref.shape[0], ref.shape[1])
         return ges_forward_jit(
             params, alive,
             jnp.asarray(c2w), jnp.asarray(K), ref,
             jnp.asarray(base_color), jnp.asarray(cam_id, jnp.int32), st,
         )
+
+    def forward_batch(self, cam_batch: dict) -> dict:
+        """Eval renders for stacked [M, ...] cameras as ONE device program
+        (render_eval_batch) with forward()'s cap slicing applied."""
+        H, W = cam_batch["ref_depth"].shape[1:3]
+        params, alive, st = self.eval_slice(H, W)
+        return render_eval_batch(params, alive, cam_batch, st)
 
     def next_rng(self):
         self._rng, k = jax.random.split(self._rng)

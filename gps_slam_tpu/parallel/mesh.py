@@ -103,8 +103,11 @@ class optim_cfg:
 
 
 def dp_render_fn(mesh: Mesh, st: RenderStatics):
-    """Data-parallel eval render: cameras sharded over "data", images
-    returned sharded (callers gather lazily via addressable shards)."""
+    """Data-parallel eval render: cameras sharded over "data", image dict
+    (rgb/alpha/depth) returned sharded (callers gather lazily via
+    addressable shards).  This is the >1-device path of
+    SLAMPipeline.render_eval_imgs (renderEvalImgs, slam_pipeline.cpp:
+    588-695)."""
     from jax import shard_map
 
     def render_shard(params, alive, batch):
@@ -115,8 +118,12 @@ def dp_render_fn(mesh: Mesh, st: RenderStatics):
                 batch["ref_depth"][i], batch["base_color"][i],
                 batch["cam_id"][i], st,
             )
-            outs.append(jnp.clip(res["rgb"], 0.0, 1.0))
-        return jnp.stack(outs)
+            outs.append({
+                "rgb": jnp.clip(res["rgb"], 0.0, 1.0),
+                "alpha": res["alpha"],
+                "depth": res["depth"],
+            })
+        return jax.tree.map(lambda *x: jnp.stack(x), *outs)
 
     rep = P()
     shd = P("data")

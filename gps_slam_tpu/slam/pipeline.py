@@ -138,6 +138,7 @@ class SLAMPipeline:
             (cfg.raw.get("PIPE", {}) or {}).get("log_pipeline_time", False)
         )
         self._last_loss_hist = None
+        self._dp_render = None  # cached (key, mesh, fn) for DP eval renders
         # timing accumulators (LOG_PIPELINE_TIME equivalents)
         self.t_fusion = self.t_local_raycast = self.t_key_raycast = 0.0
         self.t_init_gs = self.t_opt = self.t_remove = 0.0
@@ -644,19 +645,98 @@ class SLAMPipeline:
     # ------------------------------------------------------------------ eval
 
     def render_eval_imgs(self, model: GaussianModel, cams: list[Camera],
-                         names: tuple = ("rgb",)) -> None:
+                         names: tuple = ("rgb",), chunk: int = 0) -> None:
         """(renderEvalImgs :588-695): writes val/{gt,render,comp,
         raycast_color,raycast_depth} artifacts with reference-compatible
-        names."""
+        names.
+
+        Unlike the reference's per-frame loop (one raycast + one render +
+        one sync each), cameras go through in CHUNKS: one batched raycast
+        program + one batched forward program per chunk (DP-sharded over
+        the mesh when >1 device), with the next chunk dispatched before
+        the current one's images are encoded — device compute overlaps
+        host JPEG/PNG work."""
         p = self.pipe
         for sub in ("gt", "render", "comp", "raycast_color", "raycast_depth"):
             os.makedirs(os.path.join(self.eval_path, sub), exist_ok=True)
-        for cam in cams:
+        if not cams:
+            return
+        chunk = chunk or int(getattr(self.cfg.tpu, "eval_chunk", 8))
+        n_gs = model.num_gaussians  # ONE sync fetch, not one per camera
+
+        def dispatch(cs: list[Camera]):
+            poses = []
+            for cam in cs:
+                k = self._pose_idx.get(cam.id, -1)
+                if self.engine.cam_poses and 0 <= k < len(self.engine.cam_poses):
+                    poses.append(self.engine.cam_poses[k])
+                else:
+                    poses.append(cam.c2w)
+            rays = self.engine.run_raycast_batch(
+                np.stack(poses).astype(np.float32), K=np.asarray(cs[0].K),
+                quality=True)
+            res = None
+            if n_gs > 0:
+                batch = {
+                    "c2w": jnp.stack([jnp.asarray(c.c2w_slam) for c in cs]),
+                    "K": jnp.stack([jnp.asarray(c.K) for c in cs]),
+                    "ref_depth": rays["depth_map"][..., 0],
+                    "base_color": rays["color_map"],
+                    "cam_id": jnp.full((len(cs),), -1, jnp.int32),
+                }
+                res = self._eval_render_batch(model, batch)
+            return rays, res
+
+        chunks = [cams[i:i + chunk] for i in range(0, len(cams), chunk)]
+        pending = None  # (cams, rays, res) dispatched but not yet written
+        for cs in chunks + [None]:
+            nxt = dispatch(cs) if cs is not None else None
+            if pending is not None:
+                self._write_eval_chunk(pending[0], pending[1], pending[2], names)
+            pending = (cs, nxt[0], nxt[1]) if cs is not None else None
+
+    def _eval_render_batch(self, model: GaussianModel, batch: dict):
+        """Forward a stacked camera batch: DP over the device mesh when
+        >1 device (SURVEY §2.4 axis (a)), else one lax.map program."""
+        n_dev = len(jax.devices())
+        if n_dev <= 1:
+            return model.forward_batch(batch)
+        from ..parallel import mesh as pmesh
+
+        H, W = batch["ref_depth"].shape[1:3]
+        params, alive, st = model.eval_slice(H, W)
+        key = (st, n_dev)
+        if self._dp_render is None or self._dp_render[0] != key:
+            m = pmesh.make_mesh(n_dev)
+            self._dp_render = (key, m, pmesh.dp_render_fn(m, st))
+        _, m, fn = self._dp_render
+        M = batch["c2w"].shape[0]
+        pad = (-M) % n_dev
+        if pad:
+            batch = {k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)])
+                     for k, v in batch.items()}
+        out = fn(pmesh.replicate(m, params), pmesh.replicate(m, alive),
+                 pmesh.shard_batch(m, batch))
+        if pad:
+            out = {k: v[:M] for k, v in out.items()}
+        return out
+
+    def _write_eval_chunk(self, cs: list[Camera], rays: dict, res: dict | None,
+                          names: tuple) -> None:
+        """Host side of render_eval_imgs: fetch a chunk's stacked maps and
+        encode the reference-named artifacts."""
+        import cv2
+
+        p = self.pipe
+        rc_color_b = np.asarray(rays["color_map"])
+        rc_depth_b = np.asarray(rays["depth_map"])
+        res_np = (None if res is None
+                  else {k: np.asarray(v) for k, v in res.items()})
+        for i, cam in enumerate(cs):
             fid = cam.get_frame_id()
             fname = f"frame{fid}_iter{self.curr_iter}"
-            ray = self.run_raycast_by_cam(cam, False, quality=True)
-            rc_color = np.asarray(ray["color_map"])
-            rc_depth = np.asarray(ray["depth_map"])
+            rc_color = rc_color_b[i]
+            rc_depth = rc_depth_b[i]
             vis.imwrite_rgb(
                 os.path.join(self.eval_path, "raycast_color", f"frame{fid}.color.jpg"),
                 vis.to_u8_rgb(np.clip(rc_color, 0, 1)),
@@ -665,8 +745,6 @@ class SLAMPipeline:
                 os.path.join(self.eval_path, "raycast_color", f"frame{fid}_comp.color.jpg"),
                 vis.color_comp_img(np.clip(rc_color, 0, 1), cam.image, 0, p.color_error_max),
             )
-            import cv2
-
             cv2.imwrite(
                 os.path.join(self.eval_path, "raycast_depth", f"frame{fid}.depth.png"),
                 vis.depth_to_png16(rc_depth),
@@ -675,12 +753,9 @@ class SLAMPipeline:
                 os.path.join(self.eval_path, "raycast_depth", f"frame{fid}_comp.depth.png"),
                 vis.depth_comp_img(rc_depth, cam.depth, 0, p.depth_vis_max, 0, p.depth_error_max),
             )
-            if model.num_gaussians > 0:
-                res = model.forward(
-                    cam.c2w_slam, cam.K, ray["depth_map"][..., 0], ray["color_map"]
-                )
+            if res_np is not None:
                 if "rgb" in names:
-                    rendered = np.clip(np.asarray(res["rgb"]), 0, 1)
+                    rendered = np.clip(res_np["rgb"][i], 0, 1)
                     vis.imwrite_rgb(
                         os.path.join(self.eval_path, "gt", fname + ".color.jpg"),
                         vis.to_u8_rgb(cam.image),
@@ -696,12 +771,12 @@ class SLAMPipeline:
                 if "alpha" in names:
                     vis.imwrite_rgb(
                         os.path.join(self.eval_path, "render", fname + ".alpha.jpg"),
-                        vis.jet(np.asarray(res["alpha"]), 0, 1),
+                        vis.jet(res_np["alpha"][i], 0, 1),
                     )
                 if "depth" in names:
                     vis.imwrite_rgb(
                         os.path.join(self.eval_path, "render", fname + ".depth.jpg"),
-                        vis.jet(np.asarray(res["depth"]), 0, p.depth_vis_max, True),
+                        vis.jet(res_np["depth"][i], 0, p.depth_vis_max, True),
                     )
 
     # ------------------------------------------------------------------ save

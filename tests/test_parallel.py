@@ -83,13 +83,54 @@ def test_dp_render_sharding():
         "base_color": jnp.tile(base_color[None], (n, 1, 1, 1)),
         "cam_id": jnp.zeros((n,), jnp.int32),
     })
-    imgs = render(
+    out = render(
         pmesh.replicate(mesh, pool.params), pmesh.replicate(mesh, pool.alive), batch
     )
-    assert imgs.shape == (8, st.height, st.width, 3)
+    assert out["rgb"].shape == (8, st.height, st.width, 3)
+    assert out["alpha"].shape == (8, st.height, st.width)
     # identical cameras -> identical images across shards
-    a = np.asarray(imgs)
+    a = np.asarray(out["rgb"])
     np.testing.assert_allclose(a[0], a[7], atol=1e-6)
+
+
+def test_eval_batch_matches_serial():
+    """The batched eval program (render_eval_batch) and the DP eval path
+    (dp_render_fn) must produce IDENTICAL images to the serial per-camera
+    forward — the equivalence render_eval_imgs relies on."""
+    import __graft_entry__ as g
+    from gps_slam_tpu.gs import model as gmodel
+    from gps_slam_tpu.parallel import mesh as pmesh
+
+    pool, st, c2w, K, ref_depth, base_color = g._tiny_setup()
+    n = 8
+    batch = {
+        "c2w": jnp.tile(c2w[None], (n, 1, 1)),
+        "K": jnp.tile(K[None], (n, 1, 1)),
+        "ref_depth": jnp.tile(ref_depth[None], (n, 1, 1)),
+        "base_color": jnp.tile(base_color[None], (n, 1, 1, 1)),
+        "cam_id": jnp.full((n,), -1, jnp.int32),
+    }
+    serial = gmodel.ges_forward_jit(
+        pool.params, pool.alive, c2w, K, ref_depth, base_color,
+        jnp.asarray(-1, jnp.int32), st,
+    )
+    ref = {
+        "rgb": np.clip(np.asarray(serial["rgb"]), 0, 1),
+        "alpha": np.asarray(serial["alpha"]),
+        "depth": np.asarray(serial["depth"]),
+    }
+    out = gmodel.render_eval_batch(pool.params, pool.alive, batch, st)
+    for k in ("rgb", "alpha", "depth"):
+        np.testing.assert_allclose(np.asarray(out[k][3]), ref[k], atol=1e-6)
+
+    mesh = pmesh.make_mesh(8)
+    render = pmesh.dp_render_fn(mesh, st)
+    dp = render(
+        pmesh.replicate(mesh, pool.params), pmesh.replicate(mesh, pool.alive),
+        pmesh.shard_batch(mesh, batch),
+    )
+    for k in ("rgb", "alpha", "depth"):
+        np.testing.assert_allclose(np.asarray(dp[k][5]), ref[k], atol=1e-6)
 
 
 def test_spatial_sharded_fusion_matches_single():
