@@ -47,23 +47,45 @@ def _blur_valid(x: jax.Array) -> jax.Array:
     return conv1d(conv1d(x, x.ndim - 1), x.ndim - 2)
 
 
+def ssim_gt_moments(img2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Blur moments (mu2, s2) of a FIXED comparison image [H, W, C] —
+    constant across a window's optimizer iterations, so window_optimize
+    precomputes them once per camera instead of re-blurring the gt stack
+    every Adam step (the gt accounted for 2 of the 5 stacked blur channels
+    per color, ~40% of the SSIM stencil traffic)."""
+    b = img2.transpose(2, 0, 1)
+    C = b.shape[0]
+    bl = _blur_valid(jnp.concatenate([b, b * b], 0))
+    mu2 = bl[:C]
+    s2 = bl[C:] - mu2 * mu2
+    return mu2, s2
+
+
 def ssim_map(img1: jax.Array, img2: jax.Array, c1: float = 0.01 ** 2,
-             c2: float = 0.03 ** 2) -> jax.Array:
+             c2: float = 0.03 ** 2,
+             gt_moments: tuple[jax.Array, jax.Array] | None = None) -> jax.Array:
     """SSIM map with 'valid' padding, [H, W, C] inputs
     (FusedSSIMMap equivalent, gsplat_wapper.hpp:622-677).
 
-    All five moment maps (x, y, x^2, y^2, xy) are blurred in ONE stacked
-    stencil call so XLA emits a single fused pass per direction."""
+    The moment maps of img1 (x, x^2, xy) are blurred in ONE stacked
+    stencil call so XLA emits a single fused pass per direction; img2's
+    (y, y^2) join the stack unless precomputed via ssim_gt_moments."""
     a = img1.transpose(2, 0, 1)
     b = img2.transpose(2, 0, 1)
     C = a.shape[0]
-    stack = jnp.concatenate([a, b, a * a, b * b, a * b], 0)  # [5C, H, W]
-    bl = _blur_valid(stack)
-    mu1, mu2 = bl[:C], bl[C:2 * C]
+    if gt_moments is None:
+        stack = jnp.concatenate([a, a * a, a * b, b, b * b], 0)  # [5C, H, W]
+        bl = _blur_valid(stack)
+        mu2 = bl[3 * C:4 * C]
+        s2 = bl[4 * C:5 * C] - mu2 * mu2
+    else:
+        stack = jnp.concatenate([a, a * a, a * b], 0)            # [3C, H, W]
+        bl = _blur_valid(stack)
+        mu2, s2 = gt_moments
+    mu1 = bl[:C]
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = bl[2 * C:3 * C] - mu1_sq
-    s2 = bl[3 * C:4 * C] - mu2_sq
-    s12 = bl[4 * C:5 * C] - mu12
+    s1 = bl[C:2 * C] - mu1_sq
+    s12 = bl[2 * C:3 * C] - mu12
     out = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
     )
@@ -83,11 +105,13 @@ def compute_loss(
     ssim_weight: float,
     depth_weight: float,
     mask: jax.Array | None = None,
+    gt_ssim_moments: tuple[jax.Array, jax.Array] | None = None,
 ) -> dict:
     """(raw_gs_model.cpp:369-417 computeLoss)."""
     l1_loss = l1(gt_rgb, rendered_rgb, mask)
     if ssim_weight > 0:
-        ssim_loss = 1.0 - ssim_map(rendered_rgb, gt_rgb).mean()
+        ssim_loss = 1.0 - ssim_map(
+            rendered_rgb, gt_rgb, gt_moments=gt_ssim_moments).mean()
         rgb_loss = (1.0 - ssim_weight) * l1_loss + ssim_weight * ssim_loss
     else:
         rgb_loss = l1_loss

@@ -134,6 +134,7 @@ def ges_forward(
         jax.nn.sigmoid(params["opacities"][:, 0]),
         bins, ref_clamped, proj.depths, st.delta_depth,
         st.width, st.height, st.tile_size, impl=st.splat_impl,
+        tiles_per_gaussian_cap=st.tiles_per_gaussian_cap,
     )
 
     # SDF base-layer blend (:317-326)
@@ -316,6 +317,12 @@ def window_optimize(
     bins = jax.vmap(
         make_bins)({"c2w": cam_batch["c2w"], "K": cam_batch["K"]})
 
+    # gt-image SSIM blur moments are constant across the window's
+    # iterations — precompute per camera (the gt was 2 of the 5 stacked
+    # stencil channels per color re-blurred every Adam step)
+    gt_moments = (jax.vmap(losses.ssim_gt_moments)(cam_batch["gt_rgb"])
+                  if ssim_weight > 0 else None)
+
     def step(carry, cam_i):
         prms, ostate = carry
         b = jax.tree.map(lambda x: x[cam_i], bins)
@@ -334,6 +341,9 @@ def window_optimize(
             loss = losses.compute_loss(
                 res["rgb"], res["depth"], cam_batch["gt_rgb"][cam_i],
                 gt_depth, ssim_weight, depth_weight,
+                gt_ssim_moments=(
+                    None if gt_moments is None
+                    else jax.tree.map(lambda x: x[cam_i], gt_moments)),
             )
             return loss["total"], loss
 

@@ -76,6 +76,40 @@ class ActiveBins(NamedTuple):
     seg_hi: jax.Array      # int32 [N] one-past-last sorted-pair index
 
 
+def _run_starts(keys_s: jax.Array, n_out: int, sentinel: int):
+    """Positions of the first occurrence of each distinct value in a
+    SORTED key stream, compacted to `n_out` slots.
+
+    jnp.nonzero(first_flags, size=n_out) lowers to cumsum + a full-stream
+    scatter, which runs on the scalar core (~40 ms per 4.7M elements in
+    the round-4 window-optimize trace); one more 2-operand sort does the
+    same compaction on the sort unit ~5x faster.  `sentinel` must exceed
+    every real key.  Returns (starts, svals): position of each run start
+    (P_len where absent) and its key (sentinel where absent), both
+    ascending."""
+    P_len = keys_s.shape[0]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
+    skey = jnp.where(first, keys_s, sentinel)
+    pos = jnp.where(first, jnp.arange(P_len, dtype=jnp.int32), P_len)
+    skey_s, pos_s = jax.lax.sort((skey, pos), num_keys=1, is_stable=True)
+    return pos_s[:n_out], skey_s[:n_out]
+
+
+def _row_slices(stream: jax.Array, offsets: jax.Array, L: int) -> jax.Array:
+    """[len(offsets), L] rows sliced from a 1-D stream at dynamic offsets.
+
+    The run-length lists built from a sorted pair stream are CONTIGUOUS
+    segments; an element gather `stream[off[:, None] + arange(L)]` hides
+    that from XLA (2.36M scalar-core element gathers ≈ 24 ms in the
+    round-4 trace), while a batched dynamic_slice lowers to a gather of
+    L-wide rows at DMA speed.  Offsets may reach len(stream); the tail is
+    padded so every slice is in bounds (callers mask by count)."""
+    padded = jnp.concatenate([stream, jnp.zeros((L,), stream.dtype)])
+    return jax.vmap(
+        lambda off: jax.lax.dynamic_slice(padded, (off,), (L,)))(offsets)
+
+
 def _bin_pairs(
     means2d: jax.Array,
     radii: jax.Array,
@@ -133,17 +167,12 @@ def _bin_pairs(
     # core at ~50 ms per 4.7M elements in the round-3 trace)
     keys_s, gids_s = jax.lax.sort((keys, vals), num_keys=1, is_stable=True)
 
-    # per-tile [start, count] from run-length boundaries: first-flag +
-    # two O(T) scatters.  jnp.searchsorted over the sorted pair keys
-    # lowers to a serial while loop on TPU — the same 57 ms/call class
-    # the segment-boundary path below already avoids
+    # per-tile [start, count] from run-length boundaries: sort-compacted
+    # first-flags + two O(T) scatters.  jnp.searchsorted over the sorted
+    # pair keys lowers to a serial while loop on TPU, and nonzero to a
+    # full-stream scalar-core scatter — _run_starts avoids both
     P_len = keys_s.shape[0]
-    firstk = jnp.concatenate(
-        [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
-    kstarts, = jnp.nonzero(firstk, size=T + 1, fill_value=P_len)
-    kstarts = kstarts.astype(jnp.int32)
-    ksval = jnp.where(
-        kstarts < P_len, keys_s[jnp.minimum(kstarts, P_len - 1)], T)
+    kstarts, ksval = _run_starts(keys_s, T + 1, T + 1)
     kends = jnp.concatenate([kstarts[1:], jnp.full((1,), P_len, jnp.int32)])
     # padding tile_id == T scatters out of bounds -> dropped
     counts = jnp.zeros(T, jnp.int32).at[ksval].set(
@@ -171,9 +200,8 @@ def bin_gaussians(
         tiles_per_gaussian_cap,
     )
     l = jnp.arange(tile_cap, dtype=jnp.int32)
-    flat_idx = tile_start[:, None] + l[None, :]                  # [T, L]
-    valid = l[None, :] < counts[:, None]
-    gids_t = gids_s[jnp.clip(flat_idx, 0, keys_s.shape[0] - 1)]
+    valid = l[None, :] < counts[:, None]                         # [T, L]
+    gids_t = _row_slices(gids_s, tile_start, tile_cap)
 
     n_tile_overflow = jnp.sum(jnp.maximum(counts - tile_cap, 0))
     return TileBins(gids_t, valid, n_pairs, n_tile_overflow, n_span_overflow)
@@ -205,16 +233,14 @@ def bin_gaussians_active(
     a_off = tile_start[asafe]
     a_cnt = jnp.where(act_idx < T, counts[asafe], 0)
     l = jnp.arange(tile_cap, dtype=jnp.int32)
-    flat_idx = a_off[:, None] + l[None, :]                       # [A, L]
-    valid = l[None, :] < a_cnt[:, None]
+    valid = l[None, :] < a_cnt[:, None]                          # [A, L]
     N = means2d.shape[0]
     # invalid slots point at the NULL row N (_pack_attrs appends a zero
     # row: opacity 0 -> alpha 0 < 1/255 -> excluded) — validity is then
     # implicit in the list itself, so the splat kernels never touch a
     # separate mask (the per-iteration [A, L, 16] validity-column write
     # cost ~0.75 ms/iter in the round-4 trace)
-    gids_a = jnp.where(
-        valid, gids_s[jnp.clip(flat_idx, 0, keys_s.shape[0] - 1)], N)
+    gids_a = jnp.where(valid, _row_slices(gids_s, a_off, tile_cap), N)
 
     n_tile_overflow = jnp.sum(jnp.maximum(counts - tile_cap, 0))
     n_active = jnp.sum(active.astype(jnp.int32))
@@ -228,13 +254,9 @@ def bin_gaussians_active(
     # below is two O(N) scatters + a nonzero compaction instead.
     gsorted, pair_order = jax.lax.sort(
         (gidf, jnp.arange(AL, dtype=jnp.int32)), num_keys=1, is_stable=True)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), gsorted[1:] != gsorted[:-1]])
-    # ≤ N+1 distinct values (incl. the padding sentinel N); fill = AL so
-    # padded runs get zero length below
-    starts, = jnp.nonzero(first, size=N + 1, fill_value=AL)
-    starts = starts.astype(jnp.int32)
-    svals = jnp.where(starts < AL, gsorted[jnp.minimum(starts, AL - 1)], N)
+    # ≤ N+1 distinct values (incl. the padding sentinel N); absent slots
+    # get svals = N+1 -> dropped by the [N]-sized scatters below
+    starts, svals = _run_starts(gsorted, N + 1, N + 1)
     ends = jnp.concatenate([starts[1:], jnp.full((1,), AL, jnp.int32)])
     seg_lo = jnp.zeros(N, jnp.int32).at[svals].set(starts, mode="drop")
     seg_hi = jnp.zeros(N, jnp.int32).at[svals].set(ends, mode="drop")
@@ -299,7 +321,7 @@ def _splat_fwd_impl(static, means2d, conics, colors, opacities, gauss_depth,
                     gids, valid, ref_tiles, px, py):
     """Tile-space weighted sums -> [A_pad, C+1, P] (channel-major: the
     256-pixel tile stays in the lane dimension everywhere)."""
-    delta_depth, chunk, impl = static
+    delta_depth, chunk, impl, s2 = static
     C = colors.shape[1]
     A_pad = gids.shape[0]
     P = px.shape[1]
@@ -362,7 +384,7 @@ def _ges_splat_bwd(static, res, v_out):
     * v_out, v_alpha = ce . v_out, v_sigma = -alpha * v_alpha, conic/xy
     chain rule; no gradient flows through the depth cut or the 0.999
     clamp, exactly like the reference."""
-    delta_depth, chunk, impl = static
+    delta_depth, chunk, impl, s2 = static
     (means2d, conics, colors, opacities, gauss_depth,
      gids, valid, ref_tiles, px, py, pair_order, seg_lo, seg_hi) = res
     C = colors.shape[1]
@@ -378,7 +400,7 @@ def _ges_splat_bwd(static, res, v_out):
             impl == "pallas_interpret",
         )[..., :K]
         return _segment_to_grads(contribs, pair_order, seg_lo, seg_hi,
-                                 A_pad, L, N, C)
+                                 A_pad, L, N, C, s2)
     n_chunks = A_pad // chunk
 
     def body(carry, xs):
@@ -416,26 +438,39 @@ def _ges_splat_bwd(static, res, v_out):
     )
     _, contribs = jax.lax.scan(body, None, xs)
     return _segment_to_grads(contribs, pair_order, seg_lo, seg_hi,
-                             A_pad, L, N, C)
+                             A_pad, L, N, C, s2)
 
 
-def _segment_to_grads(contribs, pair_order, seg_lo, seg_hi, A_pad, L, N, C):
+def _segment_to_grads(contribs, pair_order, seg_lo, seg_hi, A_pad, L, N, C,
+                      s2=16):
     """Per-pair contributions [*, L, 6+C] -> per-gaussian grads.
 
     Segment-sum via the binning's PRECOMPUTED pair order (loop-invariant
     across the window's iterations).  pair_order covers the unpadded A*L
     pairs; padding rows contribute exact zeros and sit at the tail, so
-    appending them in place keeps every gaussian's [lo, hi) range valid."""
+    appending them in place keeps every gaussian's [lo, hi) range valid.
+
+    In gid-sorted order every gaussian's pairs are CONTIGUOUS and at most
+    `s2` long (the binning clips each gaussian's tile bbox to
+    tiles_per_gaussian_cap slots), so the reduction is a batched
+    dynamic_slice + masked sum — replacing the full-stream f32 cumsum +
+    boundary gathers (+ their layout copies, ~1.8 ms/iter in the round-4
+    trace) and summing each gaussian's ≤ s2 terms directly (better f32
+    precision than differencing a 262k-element cumsum)."""
     K = 6 + C
     flat = contribs.reshape(A_pad * L, K)
     AL = pair_order.shape[0]
     order = (pair_order if AL == A_pad * L else jnp.concatenate(
         [pair_order, jnp.arange(AL, A_pad * L, dtype=pair_order.dtype)]))
-    cs = jnp.cumsum(flat[order].astype(jnp.float32), axis=0)
-    lo, hi = seg_lo, seg_hi
-    top = cs[jnp.clip(hi - 1, 0, cs.shape[0] - 1)]
-    bot = jnp.where((lo > 0)[:, None], cs[jnp.clip(lo - 1, 0, cs.shape[0] - 1)], 0.0)
-    seg = jnp.where((hi > lo)[:, None], top - bot, 0.0)  # [N, K]
+    sortedc = jnp.concatenate(
+        [flat[order], jnp.zeros((s2, K), flat.dtype)], 0)
+    rows = jax.vmap(
+        lambda off: jax.lax.dynamic_slice(sortedc, (off, 0), (s2, K))
+    )(seg_lo)                                            # [N, s2, K]
+    run = jnp.arange(s2, dtype=jnp.int32)
+    mask = (seg_lo[:, None] + run[None]) < seg_hi[:, None]
+    seg = jnp.sum(
+        jnp.where(mask[..., None], rows, 0.0), axis=1)   # [N, K]
 
     v_means2d = seg[:, 0:2]
     v_conics = seg[:, 2:5]
@@ -490,6 +525,7 @@ def ges_rasterize_active(
     tile_size: int = 16,
     chunk: int = 64,
     impl: str = "xla",
+    tiles_per_gaussian_cap: int = 16,
 ):
     """Active-tile GES weighted sums; identical math to ges_rasterize but
     the per-tile contraction runs only over bins.tiles.  Inactive tiles
@@ -542,7 +578,8 @@ def ges_rasterize_active(
     py = ty[:, None] + (pp // tile_size)[None, :] + 0.5
 
     out = _ges_splat(
-        (float(delta_depth), int(chunk), str(impl)),
+        (float(delta_depth), int(chunk), str(impl),
+         int(tiles_per_gaussian_cap)),
         means2d, conics, colors, opacities, gauss_depth,
         gids, jax.lax.stop_gradient(valid),
         jax.lax.stop_gradient(ref_tiles),

@@ -69,6 +69,17 @@ def _pair_core(g, px, py, ref, C, delta_depth):
     return w, e, raw_alpha, live, dx, dy, cnA, cnB, cnC
 
 
+_HI = jax.lax.Precision.HIGHEST  # bf16x6 passes ≈ f32-exact on the MXU
+
+
+def _ce8(g, C):
+    """[L, 8] color rows padded for the MXU: C colors | 1 | zeros."""
+    L = g.shape[0]
+    return jnp.concatenate(
+        [g[:, 5:5 + C], jnp.ones((L, 1), g.dtype),
+         jnp.zeros((L, 8 - C - 1), g.dtype)], axis=1)
+
+
 def _fwd_kernel(g_ref, pix_ref, out_ref, *, C, CT, delta_depth):
     for c in range(CT):
         g = g_ref[c]                       # [L, 16]
@@ -76,15 +87,22 @@ def _fwd_kernel(g_ref, pix_ref, out_ref, *, C, CT, delta_depth):
         py = pix_ref[c, 1:2]
         ref = pix_ref[c, 2:3]
         w, *_ = _pair_core(g, px, py, ref, C, delta_depth)
-        rows = []
-        for k in range(C):
-            ce_k = g[:, 5 + k:6 + k]       # [L, 1]
-            rows.append(jnp.sum(w * ce_k, axis=0, keepdims=True))  # [1, P]
-        rows.append(jnp.sum(w, axis=0, keepdims=True))  # the 'one' channel
-        out_ref[c] = jnp.concatenate(rows, axis=0)      # [C+1, P]
+        # out[k, p] = sum_l ce8[l, k] w[l, p] — one [8, L] x [L, P] MXU
+        # matmul replaces C+1 VPU row reductions (the per-channel sums
+        # were the majority of the forward's VPU ops)
+        out8 = jax.lax.dot_general(
+            _ce8(g, C), w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)   # [8, P]
+        out_ref[c] = out8[:C + 1]
 
 
 def _bwd_kernel(g_ref, pix_ref, vo_ref, contrib_ref, *, C, CT, delta_depth):
+    """Pixel reductions as MXU moment matmuls: every per-pair gradient
+    component is a polynomial in the pixel coordinates, so the sums over
+    a tile's pixels factor through six moments of v_sigma against the
+    TILE-LOCAL basis [1, px, py, px^2, px*py, py^2] (local coordinates
+    keep the f32 basis products exact; HIGHEST precision keeps the
+    contraction at f32 accuracy)."""
     for c in range(CT):
         g = g_ref[c]
         px = pix_ref[c, 0:1]
@@ -93,25 +111,53 @@ def _bwd_kernel(g_ref, pix_ref, vo_ref, contrib_ref, *, C, CT, delta_depth):
         vo = vo_ref[c]                     # [C+1, P]
         w, e, raw_alpha, live, dx, dy, cnA, cnB, cnC = _pair_core(
             g, px, py, ref, C, delta_depth)
+        L = g.shape[0]
 
-        # v_w[l,p] = sum_k ce[l,k] * vo[k,p]; ce's last channel is 1
-        v_w = jnp.broadcast_to(vo[C:C + 1], w.shape)
-        for k in range(C):
-            v_w = v_w + g[:, 5 + k:6 + k] * vo[k:k + 1]
+        # v_w[l,p] = sum_k ce8[l,k] * vo8[k,p] — [L, 8] x [8, P] MXU
+        vo8 = jnp.concatenate(
+            [vo, jnp.zeros((8 - C - 1, vo.shape[1]), vo.dtype)], axis=0)
+        v_w = jax.lax.dot_general(
+            _ce8(g, C), vo8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)   # [L, P]
         dalpha = jnp.where(live, v_w, 0.0)
-        v_op = jnp.sum(dalpha * e, axis=1, keepdims=True)          # [L, 1]
-        v_sigma = -dalpha * raw_alpha
-        v_ca = jnp.sum(v_sigma * 0.5 * dx * dx, axis=1, keepdims=True)
-        v_cb = jnp.sum(v_sigma * dx * dy, axis=1, keepdims=True)
-        v_cc = jnp.sum(v_sigma * 0.5 * dy * dy, axis=1, keepdims=True)
-        v_x = jnp.sum(v_sigma * (cnA * dx + cnB * dy), axis=1, keepdims=True)
-        v_y = jnp.sum(v_sigma * (cnC * dy + cnB * dx), axis=1, keepdims=True)
-        # v_ce_k[l] = sum_p w[l,p] * vo[k,p]
-        cols = [v_x, v_y, v_ca, v_cb, v_cc]
-        for k in range(C):
-            cols.append(jnp.sum(w * vo[k:k + 1], axis=1, keepdims=True))
-        cols.append(v_op)
-        out = jnp.concatenate(cols, axis=1)            # [L, 6+C]
+        v_sigma = -dalpha * raw_alpha                            # [L, P]
+
+        # tile-local coordinates (values <= 16: basis products exact f32)
+        t0x = px[0:1, 0:1] - 0.5
+        t0y = py[0:1, 0:1] - 0.5
+        pxl = px - t0x
+        pyl = py - t0y
+        x = g[:, 0:1] - t0x                # [L, 1]
+        y = g[:, 1:2] - t0y
+        basis = jnp.concatenate(
+            [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
+             jnp.zeros_like(pxl), jnp.zeros_like(pxl)], axis=0)  # [8, P]
+        M = jax.lax.dot_general(
+            v_sigma, basis, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)   # [L, 8]
+        S0 = M[:, 0:1]
+        Sx = M[:, 1:2]
+        Sy = M[:, 2:3]
+        Sxx = M[:, 3:4]
+        Sxy = M[:, 4:5]
+        Syy = M[:, 5:6]
+        # sum_p v_sigma * dx = x*S0 - Sx (dx = x - px), etc.
+        Dx = x * S0 - Sx
+        Dy = y * S0 - Sy
+        v_x = cnA * Dx + cnB * Dy
+        v_y = cnC * Dy + cnB * Dx
+        v_ca = 0.5 * (x * x * S0 - 2.0 * x * Sx + Sxx)
+        v_cb = x * y * S0 - x * Sy - y * Sx + Sxy
+        v_cc = 0.5 * (y * y * S0 - 2.0 * y * Sy + Syy)
+        # sum_p dalpha*e = sum_p dalpha*raw_alpha/op = -S0/op
+        op = g[:, 6 + C:7 + C]
+        v_op = jnp.where(op > 0, -S0 / jnp.where(op > 0, op, 1.0), 0.0)
+        # v_ce[l,k] = sum_p w[l,p] vo[k,p] — [L, P] x [P, 8] MXU
+        Wm = jax.lax.dot_general(
+            w, vo8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)   # [L, 8]
+        out = jnp.concatenate(
+            [v_x, v_y, v_ca, v_cb, v_cc, Wm[:, :C], v_op], axis=1)
         K = 6 + C
         pad = contrib_ref.shape[-1] - K
         if pad:

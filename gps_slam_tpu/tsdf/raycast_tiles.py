@@ -160,25 +160,23 @@ def _tile_bins(
             (zs, flat_tile, flat_gid), num_keys=1, is_stable=True)
         keys_s, gids_s = jax.lax.sort(
             (t1s, g1s), num_keys=1, is_stable=True)
-    # per-tile [start, count] via run-length boundaries (first-flag + two
-    # O(T) scatters) — jnp.searchsorted lowers to a serial while loop of
-    # scalar-core gathers on TPU (see rasterize._bin_pairs)
+    # per-tile [start, count] via sort-compacted run-length boundaries +
+    # two O(T) scatters — jnp.searchsorted lowers to a serial while loop
+    # and jnp.nonzero to a full-stream scalar-core scatter on TPU (see
+    # rasterize._run_starts); the list build is a batched dynamic_slice
+    # (contiguous runs) instead of an element gather
+    from ..gs.rasterize import _row_slices, _run_starts
+
     P_len = keys_s.shape[0]
-    firstk = jnp.concatenate(
-        [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
-    kstarts, = jnp.nonzero(firstk, size=T + 1, fill_value=P_len)
-    kstarts = kstarts.astype(jnp.int32)
-    ksval = jnp.where(
-        kstarts < P_len, keys_s[jnp.minimum(kstarts, P_len - 1)], T)
+    kstarts, ksval = _run_starts(keys_s, T + 1, T + 1)
     kends = jnp.concatenate([kstarts[1:], jnp.full((1,), P_len, jnp.int32)])
     counts = jnp.zeros(T, jnp.int32).at[ksval].set(
         kends - kstarts, mode="drop")
-    tile_start = jnp.full(T, P_len, jnp.int32).at[ksval].set(
+    tile_start = jnp.zeros(T, jnp.int32).at[ksval].set(
         kstarts, mode="drop")
     l = jnp.arange(lb, dtype=jnp.int32)
-    flat_idx = tile_start[:, None] + l[None]
     valid = l[None] < counts[:, None]
-    gids_t = gids_s[jnp.clip(flat_idx, 0, P_len - 1)]
+    gids_t = _row_slices(gids_s, tile_start, lb)
     n_overflow = jnp.sum(jnp.maximum(counts - lb, 0)) + jnp.sum(span_overflow)
     return gids_t, valid, n_overflow
 

@@ -80,6 +80,11 @@ def run_loop(n_frames: int, width: int, height: int, trace_dir: str) -> None:
     """The bench pipeline: warm-up run (compiles), then a traced run."""
     import jax
 
+    # share bench.py's persistent compile cache — repeat profile runs skip
+    # the multi-minute first-compile wall
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from gps_slam_tpu.config import Config
     from gps_slam_tpu.data import synthetic
     from gps_slam_tpu.gs.model import GaussianModel
