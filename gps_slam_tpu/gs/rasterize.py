@@ -99,15 +99,18 @@ def _run_starts(keys_s: jax.Array, n_out: int, sentinel: int):
 def _row_slices(stream: jax.Array, offsets: jax.Array, L: int) -> jax.Array:
     """[len(offsets), L] rows sliced from a 1-D stream at dynamic offsets.
 
-    The run-length lists built from a sorted pair stream are CONTIGUOUS
-    segments; an element gather `stream[off[:, None] + arange(L)]` hides
-    that from XLA (2.36M scalar-core element gathers ≈ 24 ms in the
-    round-4 trace), while a batched dynamic_slice lowers to a gather of
-    L-wide rows at DMA speed.  Offsets may reach len(stream); the tail is
-    padded so every slice is in bounds (callers mask by count)."""
+    A plain element gather, deliberately: the runs ARE contiguous, but
+    every "smarter" formulation measured WORSE on this chip —
+    vmap(dynamic_slice) lowers to a serial while loop (~29 µs/slice;
+    ~1 s for 32k slices), and lax.gather with L-wide slice_sizes ran
+    3322 ms for 32k L=16 slices vs ~5 ms for the same elements as a flat
+    gather.  Element gathers run at the known ~100M elem/s wall, which at
+    the binning's 2.4M elements/window is a tolerable ~24 ms.  Offsets
+    may reach len(stream); the tail is padded so reads stay in bounds
+    (callers mask by count)."""
     padded = jnp.concatenate([stream, jnp.zeros((L,), stream.dtype)])
-    return jax.vmap(
-        lambda off: jax.lax.dynamic_slice(padded, (off,), (L,)))(offsets)
+    idx = offsets[:, None] + jnp.arange(L, dtype=jnp.int32)[None]
+    return padded[jnp.minimum(idx, padded.shape[0] - 1)]
 
 
 def _bin_pairs(
@@ -450,27 +453,23 @@ def _segment_to_grads(contribs, pair_order, seg_lo, seg_hi, A_pad, L, N, C,
     pairs; padding rows contribute exact zeros and sit at the tail, so
     appending them in place keeps every gaussian's [lo, hi) range valid.
 
-    In gid-sorted order every gaussian's pairs are CONTIGUOUS and at most
-    `s2` long (the binning clips each gaussian's tile bbox to
-    tiles_per_gaussian_cap slots), so the reduction is a batched
-    dynamic_slice + masked sum — replacing the full-stream f32 cumsum +
-    boundary gathers (+ their layout copies, ~1.8 ms/iter in the round-4
-    trace) and summing each gaussian's ≤ s2 terms directly (better f32
-    precision than differencing a 262k-element cumsum)."""
+    Segment reduction = permutation gather into gid-sorted order + f32
+    cumsum + boundary gathers.  Slice-based alternatives were measured
+    and rejected on TPU: vmap(dynamic_slice) lowers to a serial while
+    loop (~1 s/window at 32k slices), and lax.gather with (s2, K) slices
+    runs at ~59 ms/call vs the ~2.5 ms this path costs inside the
+    optimizer loop (round-4 traces)."""
     K = 6 + C
     flat = contribs.reshape(A_pad * L, K)
     AL = pair_order.shape[0]
     order = (pair_order if AL == A_pad * L else jnp.concatenate(
         [pair_order, jnp.arange(AL, A_pad * L, dtype=pair_order.dtype)]))
-    sortedc = jnp.concatenate(
-        [flat[order], jnp.zeros((s2, K), flat.dtype)], 0)
-    rows = jax.vmap(
-        lambda off: jax.lax.dynamic_slice(sortedc, (off, 0), (s2, K))
-    )(seg_lo)                                            # [N, s2, K]
-    run = jnp.arange(s2, dtype=jnp.int32)
-    mask = (seg_lo[:, None] + run[None]) < seg_hi[:, None]
-    seg = jnp.sum(
-        jnp.where(mask[..., None], rows, 0.0), axis=1)   # [N, K]
+    cs = jnp.cumsum(flat[order].astype(jnp.float32), axis=0)
+    lo, hi = seg_lo, seg_hi
+    top = cs[jnp.clip(hi - 1, 0, cs.shape[0] - 1)]
+    bot = jnp.where((lo > 0)[:, None],
+                    cs[jnp.clip(lo - 1, 0, cs.shape[0] - 1)], 0.0)
+    seg = jnp.where((hi > lo)[:, None], top - bot, 0.0)  # [N, K]
 
     v_means2d = seg[:, 0:2]
     v_conics = seg[:, 2:5]

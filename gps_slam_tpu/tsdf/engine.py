@@ -145,39 +145,94 @@ class TsdfEngine:
     # -- per-frame processing -------------------------------------------------
 
     # visible-scan prefix buckets: smallest power-of-two bucket covering
-    # the cached block cursor (+ margin for one frame of staleness); keeps
-    # the per-frame visible pass O(allocated), not O(capacity)
-    _PREFIX_MARGIN = 4096
+    # the cached block cursor (+ margin for staleness); keeps the
+    # per-frame visible pass O(allocated), not O(capacity).  The margin
+    # per stale frame ADAPTS to the measured allocation rate — a flat
+    # worst-case margin (round-3: 4096/frame) blew the bucket to full
+    # capacity under chunked fusion (stale_frames=2*chunk), making every
+    # visible scan + in-band gather run over the whole pool
+    _PREFIX_MARGIN = 4096  # bootstrap margin until the first rate sample
+
+    def _consume_counts(self) -> None:
+        """NON-blocking consume of the async [n_blocks, n_visible]
+        future: a hard int(fut) before the queued fuse drains is a ~30 ms
+        RTT sync that serializes the pipeline (measured 8.2 -> 6.0 fps).
+        A stale-low cache only delays new blocks' first integration (or
+        clips one frame's visible list) by a frame; margins cover it."""
+        fut = getattr(self, "_nb_future", None)
+        if fut is None:
+            return
+        try:
+            ready = fut.is_ready()
+        except Exception:
+            ready = True
+        if not ready:
+            return
+        try:
+            arr = np.asarray(fut)
+            nb = int(arr) if arr.ndim == 0 else int(arr[0])
+            prev_nb = getattr(self, "_nb_cache", 0)
+            prev_at = getattr(self, "_nb_cache_frame", 0)
+            df = max(self.current_frame - prev_at, 1)
+            if nb > prev_nb and prev_at > 0:
+                self._alloc_rate = max((nb - prev_nb) / df, 1.0)
+            self._nb_cache = nb
+            self._nb_cache_frame = self.current_frame
+            if arr.ndim > 0:
+                self._nvis_cache = int(arr[1])
+        except Exception:
+            pass  # deleted/donated buffer: keep the stale cache
+        self._nb_future = None
+
+    def _refresh_counts_async(self) -> None:
+        """Start ONE outstanding async device->host copy of
+        [n_blocks, n_visible] (an unconsumed future ages until ready —
+        overwriting it every frame under a deep dispatch queue would keep
+        the cache at its bootstrap value forever)."""
+        if getattr(self, "_nb_future", None) is not None:
+            return
+        a = jnp.stack([self.vol.n_blocks, self.vol.n_visible])
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+        self._nb_future = a
 
     def _pool_prefix(self, stale_frames: int = 1) -> int:
         """`stale_frames` scales the staleness margin: chunked fusion
         refreshes the cursor once per chunk, so blocks allocated inside a
         chunk must still land under the prefix bucket."""
         B = self.params.block_capacity
-        fut = getattr(self, "_nb_future", None)
-        if fut is not None:
-            # NON-blocking consume: int(fut) before the queued fuse drains
-            # is a hard sync (~30 ms RTT on this tunnel) that serializes
-            # the async pipeline — measured 8.2 -> 6.0 fps at bench scale.
-            # A stale-low prefix only delays brand-new blocks' first
-            # integration by a frame, so skipping a not-ready future is
-            # free; the margin covers the lag.
-            try:
-                ready = fut.is_ready()
-            except Exception:
-                ready = True
-            if ready:
-                try:
-                    self._nb_cache = int(fut)
-                except Exception:
-                    pass  # deleted/donated buffer: keep the stale cache
-                self._nb_future = None
+        self._consume_counts()
+        rate = getattr(self, "_alloc_rate", None)
+        per_frame = (self._PREFIX_MARGIN if rate is None
+                     else max(256, int(2.5 * rate)))
         n = (getattr(self, "_nb_cache", 0)
-             + self._PREFIX_MARGIN * max(stale_frames, 1))
+             + per_frame * max(stale_frames, 1))
         b = 1 << 14
         while b < n and b < B:
             b <<= 1
         return min(b, B)
+
+    def _vis_cap(self, stale_frames: int = 1) -> int:
+        """Visible-list bucket from the cached per-frame visible count:
+        the integrate/window/scatter passes all scale with it (the static
+        visible_capacity worst case ran the pallas integrate at 4-8x the
+        real on-screen block count).  Sized with headroom + the
+        allocation-rate margin; an undersized bucket degrades gracefully
+        (nearest-first overflow under visible_sort_overflow, and the
+        bucket grows as soon as the count future lands)."""
+        cap = self.params.visible_capacity
+        self._consume_counts()
+        nvis = getattr(self, "_nvis_cache", None)
+        if nvis is None:
+            return cap
+        rate = getattr(self, "_alloc_rate", None) or self._PREFIX_MARGIN
+        n = int(1.5 * nvis) + max(256, int(rate)) * max(stale_frames, 1)
+        b = 1 << 10
+        while b < n and b < cap:
+            b <<= 1
+        return min(b, cap)
 
     def process_frame(self, rgb, depth) -> np.ndarray:
         """Track (or inject gt pose) + fuse one RGB-D frame; returns the
@@ -248,22 +303,12 @@ class TsdfEngine:
                     frame_idx=(jnp.asarray(i, jnp.int32)
                                if self.swap is not None else None),
                     pool_prefix=self._pool_prefix(),
+                    vis_cap=self._vis_cap(),
                 )
-                # async cursor refresh consumed by a later frame's
-                # _pool_prefix.  Only ONE outstanding future: an
-                # unconsumed future ages until it is ready (overwriting
-                # it every frame under a deep dispatch queue would keep
-                # the cache at its bootstrap value forever)
-                if getattr(self, "_nb_future", None) is None:
-                    # `+ 0` detaches from the donated volume pytree (the
-                    # raw n_blocks buffer is reused by a later fuse and
-                    # would raise on fetch)
-                    a = self.vol.n_blocks + 0
-                    try:
-                        a.copy_to_host_async()
-                    except Exception:
-                        pass
-                    self._nb_future = a
+                # async count refresh consumed by a later frame's
+                # _pool_prefix/_vis_cap (jnp.stack detaches from the
+                # donated volume pytree)
+                self._refresh_counts_async()
             if self.swap is not None and i % self.swap_check_interval == 0:
                 # cold path: spill cold blocks / merge re-seen ones back
                 # (sync fetches inside — only runs when swapping is on)
@@ -323,16 +368,11 @@ class TsdfEngine:
             # cursor refreshes once per chunk: the margin must cover up to
             # ~2 chunks of allocation lag, not one frame
             pool_prefix=self._pool_prefix(stale_frames=2 * n),
+            vis_cap=self._vis_cap(stale_frames=2 * n),
         )
-        # async block-cursor refresh, once per chunk (same single-
-        # outstanding-future discipline as process_frame)
-        if getattr(self, "_nb_future", None) is None:
-            a = self.vol.n_blocks + 0
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
-            self._nb_future = a
+        # async count refresh, once per chunk (same single-outstanding-
+        # future discipline as process_frame)
+        self._refresh_counts_async()
         for p_ in poses:
             self._last_pose = p_
             self.cam_poses.append(p_.copy())

@@ -138,9 +138,14 @@ def visible_blocks(
     height: int,
     depth: jax.Array | None = None,
     prefix: int | None = None,
-) -> jax.Array:
+    cap: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
     """Indices of allocated blocks visible in the camera, padded with -1 to
-    `visible_capacity` (ITMSceneReconstructionEngine_CUDA buildVisibleList /
+    `cap` (default `visible_capacity`), plus the UN-capped visible count
+    (the engine sizes the next frames' cap bucket from it — integration
+    cost then scales with the actual on-screen block count, not the
+    worst-case capacity)
+    (ITMSceneReconstructionEngine_CUDA buildVisibleList /
     checkBlockVisibility).  A block is visible when any of its 8 corners
     projects inside the (slightly enlarged) image within the frustum.
 
@@ -203,9 +208,11 @@ def visible_blocks(
         )
         vis = vis & in_band
 
+    cap = cap if cap is not None else p.visible_capacity
+    n_vis = jnp.sum(vis.astype(jnp.int32))
     if not p.visible_sort_overflow:
-        (idx,) = jnp.nonzero(vis, size=p.visible_capacity, fill_value=-1)
-        return idx.astype(jnp.int32)
+        (idx,) = jnp.nonzero(vis, size=cap, fill_value=-1)
+        return idx.astype(jnp.int32), n_vis
     # nearest-first overflow: when the visible set exceeds
     # visible_capacity, FAR blocks drop (their pixel footprint is
     # coarsest) instead of arbitrary allocation-order drops — an
@@ -214,14 +221,14 @@ def visible_blocks(
     # of PSNR with allocation-order drops).  Two-stage: a cheap nonzero
     # to 2x the cap, then a depth sort of only that subset (a full-pool
     # argsort costs ~7 ms/frame at 2^17).
-    pre = min(2 * p.visible_capacity, B)
+    pre = min(2 * cap, B)
     (idx0,) = jnp.nonzero(vis, size=pre, fill_value=-1)
     ok0 = idx0 >= 0
     key = jnp.where(ok0, (sz / 8.0)[jnp.where(ok0, idx0, 0)], jnp.inf)
-    order = jnp.argsort(key)[: p.visible_capacity]
+    order = jnp.argsort(key)[:cap]
     idx = idx0[order].astype(jnp.int32)
     ok = jnp.take(key, order) < jnp.inf
-    return jnp.where(ok, idx, -1)
+    return jnp.where(ok, idx, -1), n_vis
 
 
 PT = 32  # image tile edge for windowed sampling
@@ -342,6 +349,7 @@ def _fuse_frame_impl(
     shard_n: int = 1,                    # number of space shards
     frame_idx: jax.Array | None = None,  # LRU stamp for the swap engine
     pool_prefix: int | None = None,      # allocated-prefix bucket (visible scan)
+    vis_cap: int | None = None,          # visible-list bucket (default capacity)
 ) -> TsdfVolume:
     """One frame of allocation + integration (DenseMapper::ProcessFrame,
     ITMDenseMapper.tpp:33-60).  Donates the volume for in-place update."""
@@ -387,8 +395,8 @@ def _fuse_frame_impl(
         [jnp.concatenate([w2c_R, w2c_t[:, None]], axis=1),
          jnp.array([[0.0, 0.0, 0.0, 1.0]])], axis=0
     )
-    vis = visible_blocks(vol, w2c, fx, fy, cx, cy, width, height, depth=depth,
-                         prefix=pool_prefix)
+    vis, n_vis = visible_blocks(vol, w2c, fx, fy, cx, cy, width, height,
+                                depth=depth, prefix=pool_prefix, cap=vis_cap)
     vis_valid = vis >= 0
     vis_safe = jnp.where(vis_valid, vis, 0)
 
@@ -418,7 +426,7 @@ def _fuse_frame_impl(
             p.voxel_size, p.mu, p.max_w,
         )
         return _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
-                            frame_idx)
+                            frame_idx, n_vis)
 
     pos_w = _block_voxel_positions(keys, p.voxel_size)       # [V, 512, 3]
     pc = mm(pos_w, w2c_R.T) + w2c_t                          # camera space
@@ -485,10 +493,10 @@ def _fuse_frame_impl(
     )
 
     return _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
-                        frame_idx)
+                        frame_idx, n_vis)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 8, 10))
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 8, 10, 11))
 def fuse_frame(
     vol: TsdfVolume,
     depth: jax.Array,
@@ -501,14 +509,15 @@ def fuse_frame(
     shard_n: int = 1,
     frame_idx: jax.Array | None = None,
     pool_prefix: int | None = None,
+    vis_cap: int | None = None,
 ) -> TsdfVolume:
     """Jitted single-frame wrapper of `_fuse_frame_impl` (see its doc)."""
     return _fuse_frame_impl(vol, depth, rgb, c2w, K, bilinear_color,
                             use_pallas, shard_sid, shard_n, frame_idx,
-                            pool_prefix)
+                            pool_prefix, vis_cap)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 7))
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 7, 8))
 def fuse_frames_scan(
     vol: TsdfVolume,
     depths: jax.Array,  # [F, H, W] metres
@@ -518,6 +527,7 @@ def fuse_frames_scan(
     bilinear_color: bool = False,
     use_pallas: bool = False,
     pool_prefix: int | None = None,
+    vis_cap: int | None = None,
 ) -> TsdfVolume:
     """Fuse a CHUNK of frames in one device program (`lax.scan` over the
     per-frame body).  Valid only when every pose is known up front
@@ -536,16 +546,18 @@ def fuse_frames_scan(
     def body(v, xs):
         d, c, p = xs
         return _fuse_frame_impl(v, d, c, p, K, bilinear_color, use_pallas,
-                                None, 1, None, pool_prefix), None
+                                None, 1, None, pool_prefix, vis_cap), None
 
     vol, _ = jax.lax.scan(body, vol, (depths, rgbs, c2ws))
     return vol
 
 
 def _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
-                 frame_idx=None):
+                 frame_idx=None, n_vis=None):
     """Per-block raycaster summaries + deterministic scatter-back."""
     p = vol.params
+    if n_vis is not None:
+        vol = vol.replace(n_visible=n_vis)
     # 2x2x2 mean-pooled sdf mip (lin64 = mx + 4*my + 16*mz), min
     # integrated sdf, max weight
     f_cube = new_f.reshape(-1, 8, 8, 8)          # [V][z][y][x]

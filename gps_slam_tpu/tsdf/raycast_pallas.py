@@ -103,26 +103,35 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
         hit_box = t1 > t0                     # [LB, 64]
 
         # ---- coarse pass: s_coarse trilinear mip samples per block ----
-        # mip values broadcast into lanes; hat weights built by iota
-        # arithmetic over the 64-cell axis (mip voxel id = x + 4y + 16z)
-        mip64 = mip_r.astype(jnp.float32)[:, :, None]          # [LB, 64, 1]
-        i64 = jax.lax.broadcasted_iota(jnp.int32, (LB, 64, 64), 1)
-        c4x = (i64 % 4).astype(jnp.float32)
-        c4y = ((i64 // 4) % 4).astype(jnp.float32)
-        c4z = (i64 // 16).astype(jnp.float32)
+        # FACTORED accumulation: v = sum_z wz_z * (sum_y wy_y * (sum_x
+        # wx_x * m_xyz)) with the mip value m_xyz a [LB, 1] lane slice and
+        # every hat row a [LB, 64] array — ~140 VPU ops per (block, step)
+        # instead of the dense [LB, 64 cells, 64 quads] hat product
+        # (~7M ops/tile/step, ~45 ms/camera of pure VPU in round 4's
+        # budget; this was the raycast's dominant cost)
+        mip_f = mip_r.astype(jnp.float32)                      # [LB, 64]
 
         def coarse_body(s, carry):
             minval, has_neg, cand, s_first = carry
             cs = (s.astype(jnp.float32) + 0.5) / s_coarse
             ts = t0 + (t1 - t0) * cs          # [LB, 64]
-            lqs = []
+            lq = []
             for da, a in ((dqx, 0), (dqy, 1), (dqz, 2)):
                 la = (da * ts - borg[:, a:a + 1]) * (inv_vox * 0.5)
-                lqs.append(jnp.clip(la - 0.5, 0.0, 3.0)[:, None, :])  # [LB,1,64]
-            w64 = (jnp.maximum(0.0, 1.0 - jnp.abs(lqs[0] - c4x))
-                   * jnp.maximum(0.0, 1.0 - jnp.abs(lqs[1] - c4y))
-                   * jnp.maximum(0.0, 1.0 - jnp.abs(lqs[2] - c4z)))
-            v = jnp.sum(w64 * mip64, axis=1)                            # [LB,64]
+                lq.append(jnp.clip(la - 0.5, 0.0, 3.0))        # [LB, 64]
+            wx = [jnp.maximum(0.0, 1.0 - jnp.abs(lq[0] - i)) for i in range(4)]
+            wy = [jnp.maximum(0.0, 1.0 - jnp.abs(lq[1] - i)) for i in range(4)]
+            wz = [jnp.maximum(0.0, 1.0 - jnp.abs(lq[2] - i)) for i in range(4)]
+            v = jnp.zeros_like(ts)
+            for z in range(4):
+                acc_z = jnp.zeros_like(ts)
+                for y in range(4):
+                    acc_y = jnp.zeros_like(ts)
+                    for x in range(4):
+                        cell = x + 4 * y + 16 * z
+                        acc_y = acc_y + mip_f[:, cell:cell + 1] * wx[x]
+                    acc_z = acc_z + acc_y * wy[y]
+                v = v + acc_z * wz[z]                                   # [LB,64]
             neg = ((v < 0.0) & hit_box).astype(jnp.float32)
             near = ((v < NEAR) & hit_box).astype(jnp.float32)
             # record the FIRST negative sample index per (block, quad) —

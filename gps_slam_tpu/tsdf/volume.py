@@ -99,6 +99,10 @@ class TsdfVolume:
     color: jax.Array         # u32 [B, 512] packed rgb888
     w_color: jax.Array       # u8 [B, 512]
     n_blocks: jax.Array      # i32 scalar
+    # visible-block count of the LAST fused frame (pre-cap) — the engine
+    # fetches it asynchronously to size the next frames' visible-list
+    # bucket (integrate.visible_blocks cap)
+    n_visible: jax.Array     # i32 scalar
     # incremental per-block summaries for the tile raycaster
     mip: jax.Array           # f32 [B, 64] 2x2x2 mean-pooled sdf
     block_min_sdf: jax.Array # f32 [B] min sdf over integrated voxels (1 = none)
@@ -121,6 +125,7 @@ def create(params: TsdfParams) -> TsdfVolume:
         color=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint32),
         w_color=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint8),
         n_blocks=jnp.zeros((), dtype=jnp.int32),
+        n_visible=jnp.zeros((), dtype=jnp.int32),
         mip=jnp.ones((B, 64), dtype=jnp.float32),
         block_min_sdf=jnp.ones((B,), dtype=jnp.float32),
         block_max_w=jnp.zeros((B,), dtype=jnp.int32),

@@ -192,7 +192,7 @@ def test_raycast_depth_matches_gt(fused_volume):
     cam = cams[2]
     H, W = cam.depth.shape[:2]
     w2c = jnp.asarray(np.linalg.inv(cam.c2w))
-    vis = integrate.visible_blocks(
+    vis, _ = integrate.visible_blocks(
         vol, w2c, cam.fx, cam.fy, cam.cx, cam.cy, W, H
     )
     maps = rc.raycast(vol, jnp.asarray(cam.c2w), jnp.asarray(cam.K), vis, W, H)
@@ -222,8 +222,9 @@ def test_raycast_novel_view(fused_volume):
         c2w, base.width, base.height, base.fx, base.fy, base.cx, base.cy
     )
     w2c = jnp.asarray(np.linalg.inv(c2w))
-    vis = integrate.visible_blocks(vol, w2c, base.fx, base.fy, base.cx, base.cy,
-                                   base.width, base.height)
+    vis, _ = integrate.visible_blocks(vol, w2c, base.fx, base.fy,
+                                      base.cx, base.cy,
+                                      base.width, base.height)
     maps = rc.raycast(vol, jnp.asarray(c2w), jnp.asarray(base.K), vis,
                       base.width, base.height)
     depth = np.asarray(maps["depth_map"])[..., 0]

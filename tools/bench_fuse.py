@@ -80,16 +80,10 @@ def main() -> None:
         return e
 
     def _refresh_cursor(eng) -> None:
-        # mirror engine.process_frame's async block-cursor refresh so the
-        # visible-pass prefix grows with the scene (a pinned bootstrap
-        # bucket would under-measure the visible scan)
-        if getattr(eng, "_nb_future", None) is None:
-            a = eng.vol.n_blocks + 0
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
-            eng._nb_future = a
+        # mirror engine.process_frame's async count refresh so the
+        # visible-pass prefix + visible-list bucket grow with the scene
+        # (a pinned bootstrap bucket would under-measure the passes)
+        eng._refresh_counts_async()
 
     # -- per-frame dispatches ------------------------------------------------
     for tag in ["compile"] + [f"rep{r}" for r in range(reps)]:
@@ -99,7 +93,7 @@ def main() -> None:
             eng.vol = integrate.fuse_frame(
                 eng.vol, depths[i], rgbs[i], jnp.asarray(poses[i]),
                 eng._K_dev, False, eng._use_pallas_raycast(),
-                pool_prefix=eng._pool_prefix())
+                pool_prefix=eng._pool_prefix(), vis_cap=eng._vis_cap())
             _refresh_cursor(eng)
         _fetch(eng.vol.n_blocks)
         dt = (time.monotonic() - t0) * 1000 / n_frames
@@ -115,7 +109,8 @@ def main() -> None:
                 eng.vol, jnp.stack(depths[i:i + f]), jnp.stack(rgbs[i:i + f]),
                 jnp.asarray(np.stack(poses[i:i + f])), eng._K_dev,
                 False, eng._use_pallas_raycast(),
-                pool_prefix=eng._pool_prefix(stale_frames=2 * f))
+                pool_prefix=eng._pool_prefix(stale_frames=2 * f),
+                vis_cap=eng._vis_cap(stale_frames=2 * f))
             _refresh_cursor(eng)
         _fetch(eng.vol.n_blocks)
         dt = (time.monotonic() - t0) * 1000 / n_frames
