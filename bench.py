@@ -13,7 +13,10 @@ Prints exactly one JSON line:
   {"metric": "slam_train_fps_1200x680", "value": N, "unit": "fps",
    "vs_baseline": N/150}
 
-Env knobs: BENCH_FRAMES (default 100), BENCH_W/BENCH_H.
+Env knobs: BENCH_FRAMES (default 60), BENCH_W/BENCH_H.
+BENCH_TRACKED=1 benches the online-SLAM path instead (ICP tracking on,
+gt poses only recorded for ATE — the BASELINE.md room0 configuration):
+the metric becomes slam_tracked_fps_* and the line carries ate_cm.
 """
 
 from __future__ import annotations
@@ -78,12 +81,24 @@ def main() -> None:
         # nearest-first overflow sort's ~5 ms/frame
         "visible_sort_overflow": False,
     }
+    tracked = os.environ.get("BENCH_TRACKED", "0") == "1"
+    if tracked:
+        cfg_dict["PIPE"]["TSDF"]["use_gt_pose"] = False
     cfg = Config.from_dict(cfg_dict)
     os.makedirs(cfg.workspace_dir, exist_ok=True)
 
-    engine = TsdfEngine(cfg, width, height, cam0.K)
-    engine.set_gt_poses([c.c2w for c in cams])
-    engine.turn_off_tracking()
+    def make_engine():
+        e = TsdfEngine(cfg, width, height, cam0.K)
+        e.set_gt_poses([c.c2w for c in cams])
+        if tracked:
+            from gps_slam_tpu.slam.tracker import make_tracker
+
+            e.attach_tracker(make_tracker(cfg, width, height))
+        else:
+            e.turn_off_tracking()
+        return e
+
+    engine = make_engine()
     model = GaussianModel(cfg, width, height)
     pipe = SLAMPipeline(cfg, engine, cfg.workspace_dir, is_train=True)
 
@@ -91,9 +106,7 @@ def main() -> None:
     # steady state
     pipe.slam_train_cams(model, cams)
 
-    engine2 = TsdfEngine(cfg, width, height, cam0.K)
-    engine2.set_gt_poses([c.c2w for c in cams])
-    engine2.turn_off_tracking()
+    engine2 = make_engine()
     model2 = GaussianModel(cfg, width, height)
     pipe2 = SLAMPipeline(cfg, engine2, cfg.workspace_dir, is_train=False)
     # preload frames to HBM before timing — the reference's FPS likewise
@@ -126,9 +139,7 @@ def main() -> None:
     # pipeline ~3x (PERF.md), mirroring the reference's
     # profiling-vs-artifacts exclusivity (slam_pipeline.cpp:204-219).
     n_sync = min(30, n_frames)
-    engine3 = TsdfEngine(cfg, width, height, cam0.K)
-    engine3.set_gt_poses([c.c2w for c in cams[:n_sync]])
-    engine3.turn_off_tracking()
+    engine3 = make_engine()
     model3 = GaussianModel(cfg, width, height)
     pipe3 = SLAMPipeline(cfg, engine3, cfg.workspace_dir, is_train=False)
     pipe3.log_pipeline_time = True
@@ -155,15 +166,23 @@ def main() -> None:
         psnrs.append(M.psnr(img, c.image))
         ssims.append(M.ssim(img, c.image))
 
-    print(json.dumps({
-        "metric": "slam_train_fps_1200x680",
+    out = {
+        "metric": (f"slam_tracked_fps_{width}x{height}" if tracked
+                   else f"slam_train_fps_{width}x{height}"),
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 150.0, 4),
         "psnr": round(float(np.mean(psnrs)), 2),
         "ssim": round(float(np.mean(ssims)), 4),
         "gs_num": model2.num_gaussians,
-    }))
+    }
+    if tracked:
+        # trajectory quality of the ICP-tracked run vs the synthetic orbit's
+        # exact poses (ate_general.py Horn alignment)
+        est = [np.asarray(p) for p in engine2.cam_poses]
+        gt_poses = [c.c2w for c in cams[: len(est)]]
+        out["ate_cm"] = round(M.ate_rmse_cm(est, gt_poses), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -601,8 +601,9 @@ class GaussianModel:
     # -- persistence ---------------------------------------------------------
 
     def save(self, model_dir: str) -> None:
-        """model.pt-equivalent npz + 3DGS-viewer binary PLY
-        (saveTensor raw_gs_param.cpp:220-238 / savePly :159-218)."""
+        """npz + torch-archive model.pt + 3DGS-viewer binary PLY
+        (saveTensor raw_gs_param.cpp:220-238 / savePly :159-218).  model.pt
+        is readable by the reference's RawGaussianParams::loadTensor."""
         os.makedirs(model_dir, exist_ok=True)
         alive = np.asarray(self.pool.alive)
         sel = np.nonzero(alive)[0]
@@ -611,19 +612,50 @@ class GaussianModel:
         np.savez(os.path.join(model_dir, "model.npz"), **arrs)
         from ..utils import io as uio
 
+        try:
+            uio.save_model_pt(os.path.join(model_dir, "model.pt"), arrs)
+        except Exception as e:  # torch missing/broken: npz+ply still written
+            print(f"[WARN] model.pt not written ({e})")
         uio.save_gaussian_ply(
             os.path.join(model_dir, "point_cloud.ply"),
             arrs["means"], arrs["scales"], arrs["quats"],
             arrs["features_dc"], arrs["features_rest"], arrs["opacities"],
         )
 
-    def load(self, model_dir: str) -> None:
-        z = np.load(os.path.join(model_dir, "model.npz"))
-        n = z["means"].shape[0]
-        attrs = {k: jnp.asarray(z[k]) for k in
-                 ("means", "scales", "quats", "features_dc", "features_rest", "opacities")}
+    def _load_attrs(self, attrs: dict) -> None:
+        n = attrs["means"].shape[0]
+        attrs = dict(attrs)
+        if attrs["opacities"].ndim == 1:   # pool convention is [N, 1]
+            attrs["opacities"] = attrs["opacities"][:, None]
+        exposure = attrs.pop("exposure", None)
         self.pool = pmod.create(self.pool.capacity, self.pool.sh_degree,
-                                z["exposure"].shape[0] if "exposure" in z else 0)
-        if "exposure" in z:
-            self.pool = self.pool.replace(exposure=jnp.asarray(z["exposure"]))
-        self.pool = pmod.add(self.pool, attrs, jnp.asarray(n, jnp.int32))
+                                exposure.shape[0] if exposure is not None else 0)
+        if exposure is not None:
+            self.pool = self.pool.replace(exposure=jnp.asarray(exposure))
+        self.pool = pmod.add(
+            self.pool,
+            {k: jnp.asarray(attrs[k]) for k in
+             ("means", "scales", "quats", "features_dc", "features_rest",
+              "opacities")},
+            jnp.asarray(n, jnp.int32))
+
+    def load(self, model_dir: str) -> None:
+        """Open model.npz (ours), model.pt (ours or reference-written torch
+        archive, raw_gs_param.cpp:240-254), or point_cloud.ply (any 3DGS
+        model) — whichever exists, in that order."""
+        from ..utils import io as uio
+
+        npz = os.path.join(model_dir, "model.npz")
+        pt = os.path.join(model_dir, "model.pt")
+        ply = os.path.join(model_dir, "point_cloud.ply")
+        if os.path.exists(npz):
+            z = np.load(npz)
+            attrs = {k: z[k] for k in z.files}
+        elif os.path.exists(pt):
+            attrs = uio.load_model_pt(pt)
+        elif os.path.exists(ply):
+            attrs = uio.load_gaussian_ply(ply)
+        else:
+            raise FileNotFoundError(
+                f"no model.npz / model.pt / point_cloud.ply under {model_dir}")
+        self._load_attrs(attrs)

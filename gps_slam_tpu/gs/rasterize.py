@@ -148,6 +148,18 @@ def _bin_pairs(
     span_x = tmax_x - tmin_x + 1
     span_y = tmax_y - tmin_y + 1
     overflow = vmask & ((span_x > S) | (span_y > S))
+    # when the bbox is clipped to S tiles, keep the window CENTERED on the
+    # gaussian's center tile — anchoring at tmin would drop the
+    # right/bottom half of every over-span gaussian (asymmetric coverage
+    # loss; the alpha test in the rasterizer stays exact either way)
+    tc_x = jnp.clip(jnp.floor(m2d[:, 0] / tile_size), 0, tile_w - 1).astype(jnp.int32)
+    tc_y = jnp.clip(jnp.floor(m2d[:, 1] / tile_size), 0, tile_h - 1).astype(jnp.int32)
+    tmin_x = jnp.where(span_x > S,
+                       jnp.clip(tc_x - S // 2, tmin_x,
+                                jnp.maximum(tmax_x - (S - 1), 0)), tmin_x)
+    tmin_y = jnp.where(span_y > S,
+                       jnp.clip(tc_y - S // 2, tmin_y,
+                                jnp.maximum(tmax_y - (S - 1), 0)), tmin_y)
     span_x = jnp.minimum(span_x, S)
     span_y = jnp.minimum(span_y, S)
 

@@ -269,6 +269,7 @@ class SLAMPipeline:
                     # combined cost lands in the localFrameRaycast column
                     self._raycast_opt_set()
                     t2 = time.monotonic()
+                self._write_window_raycast_artifacts()
                 t3 = time.monotonic()
                 self.init_new_gaussians(model, self.localframe_raycast_window[-1])
                 if sync:
@@ -336,12 +337,15 @@ class SLAMPipeline:
         if overflow > 0:
             print(f"[SPAWN OVERFLOW] {overflow} masked samples beyond "
                   f"max_new_gaussians were dropped")
-        bin_overflow = (
-            int(self._bin_overflow) if self._bin_overflow is not None else 0
-        )
+        if self._bin_overflow is not None:
+            tile_o, span_o, act_o = (int(v) for v in self._bin_overflow)
+        else:
+            tile_o = span_o = act_o = 0
+        bin_overflow = tile_o + span_o + act_o
         if bin_overflow > 0:
             print(f"[BIN OVERFLOW] {bin_overflow} optimizer binning entries "
-                  f"dropped by tile/span/active caps")
+                  f"dropped (tile cap: {tile_o}, span cap: {span_o}, "
+                  f"active cap: {act_o})")
         os.makedirs(self.workspace_dir, exist_ok=True)
         with open(os.path.join(self.workspace_dir, "time_log.txt"), "w") as f:
             f.write(line)
@@ -465,6 +469,34 @@ class SLAMPipeline:
                 self.opt_cam_list.append(cam)
                 self.opt_raycast_list.append(self.run_raycast_by_cam(cam, False))
 
+    def _debug_artifacts_on(self) -> bool:
+        """The reference writes per-window debug images only when NOT
+        profiling (#ifndef LOG_PIPELINE_TIME, slam_pipeline.cpp:429,499);
+        PIPE.log_slam_state is our runtime switch for the same exclusive
+        pair (the release reference compiles the writes out)."""
+        return self.pipe.log_slam_state and not self.log_pipeline_time
+
+    def _write_window_raycast_artifacts(self) -> None:
+        """Per-window raycast comparison images into PIPE.TSDF.saved_images
+        (slam_pipeline.cpp:429-446): [raycast | gt | jet err] color + depth
+        comps, named frame{curr}_{local}."""
+        if not self._debug_artifacts_on():
+            return
+        p = self.pipe
+        out_dir = os.path.join(self.workspace_dir, p.tsdf.saved_images)
+        cur = self.curr_cam.get_frame_id()
+        for cam, rays in zip(self.localframe_cam_window,
+                             self.localframe_raycast_window):
+            rc = np.clip(np.asarray(rays["color_map"]), 0, 1)
+            fid = cam.get_frame_id()
+            vis.imwrite_rgb(
+                os.path.join(out_dir, f"frame{cur}_{fid}.color.jpg"),
+                vis.color_comp_img(rc, cam.image, 0, p.color_error_max))
+            vis.imwrite_rgb(
+                os.path.join(out_dir, f"frame{cur}_{fid}.depth.jpg"),
+                vis.depth_comp_img(np.asarray(rays["depth_map"]), cam.depth,
+                                   0, p.depth_vis_max, 0, p.depth_error_max))
+
     # ----------------------------------------------------------------- spawn
 
     def init_new_gaussians(self, model: GaussianModel, raycast_maps: dict) -> None:
@@ -487,6 +519,13 @@ class SLAMPipeline:
                 depth, vertex, res["rgb"], res["alpha"], gt, p.depth_vis_min,
                 p.depth_vis_max, p.color_error_thres, p.alpha_vis_max,
             )
+            if self._debug_artifacts_on():
+                # pre-optimization render comp (slam_pipeline.cpp:499-504)
+                vis.imwrite_rgb(
+                    os.path.join(self.workspace_dir, "before_opt",
+                                 f"frame{cam.get_frame_id()}.jpg"),
+                    vis.color_comp_img(np.clip(np.asarray(res["rgb"]), 0, 1),
+                                       cam.image, 0, p.color_error_max))
         raycast_maps["normal_map"] = normal
         model.pool, n_added, n_overflow = gmodel.add_gaussians(
             model.pool, vertex, gt, normal, mask,
@@ -563,10 +602,11 @@ class SLAMPipeline:
         )
         self.curr_iter += p.local_opt_iters
         self._last_loss_hist = aux["loss_hist"]
-        # accumulate binning-cap overflows device-side; fetched once in
-        # write_time_log (no per-window sync)
-        ofl = (aux["n_tile_overflow"] + aux["n_span_overflow"]
-               + aux["n_active_overflow"])
+        # accumulate binning-cap overflows device-side as a [3] vector
+        # (tile, span, active); fetched once in write_time_log (no
+        # per-window sync)
+        ofl = jnp.stack([aux["n_tile_overflow"], aux["n_span_overflow"],
+                         aux["n_active_overflow"]])
         self._bin_overflow = (
             ofl if self._bin_overflow is None else self._bin_overflow + ofl)
         if self._tb is not None and p.log_slam_state:

@@ -152,6 +152,118 @@ def save_gaussian_ply(
 
 
 # ---------------------------------------------------------------------------
+# 3DGS binary PLY (read: open a reference-/3DGS-trained model)
+# ---------------------------------------------------------------------------
+
+def load_gaussian_ply(path: str) -> dict:
+    """Read a 3DGS binary PLY (the layout savePly writes,
+    raw_gs_param.cpp:159-218) back into the parameter dict: means [N,3],
+    scales (log) [N,3], quats [N,4], features_dc [N,3], features_rest
+    [N,K-1,3] (channel-major f_rest_* de-interleaved), opacities (logit)
+    [N].  Lets eval mode / the viewer open a model trained by the CUDA
+    reference or by stock 3DGS."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.find(b"end_header\n") + len(b"end_header\n")
+    header = data[:header_end].decode("ascii", errors="replace")
+    n = 0
+    names: list[str] = []
+    for line in header.splitlines():
+        t = line.strip().split()
+        if not t:
+            continue
+        if t[0] == "element" and t[1] == "vertex":
+            n = int(t[2])
+        elif t[0] == "property" and t[1] == "float":
+            names.append(t[2])
+    dtype = np.dtype([(name, "<f4") for name in names])
+    arr = np.frombuffer(data, dtype=dtype, count=n, offset=header_end)
+
+    def col(*cs):
+        return np.stack([arr[c] for c in cs], -1).astype(np.float32)
+
+    n_rest = sum(1 for name in names if name.startswith("f_rest_"))
+    k_rest = n_rest // 3
+    if k_rest > 0:
+        rest_cm = np.stack(
+            [arr[f"f_rest_{i}"] for i in range(3 * k_rest)], -1
+        ).astype(np.float32)
+        # stored channel-major (all of channel 0's K-1 coeffs first);
+        # de-interleave back to [N, K-1, 3]
+        rest = rest_cm.reshape(n, 3, k_rest).transpose(0, 2, 1)
+    else:
+        rest = np.zeros((n, 0, 3), np.float32)
+    return {
+        "means": col("x", "y", "z"),
+        "scales": col("scale_0", "scale_1", "scale_2"),
+        "quats": col("rot_0", "rot_1", "rot_2", "rot_3"),
+        "features_dc": col("f_dc_0", "f_dc_1", "f_dc_2"),
+        "features_rest": rest,
+        "opacities": arr["opacity"].astype(np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# model.pt (torch-archive interop with the reference's saveTensor/loadTensor)
+# ---------------------------------------------------------------------------
+
+# our snake_case param keys <-> the reference's archive names
+# (raw_gs_param.cpp:222-230)
+_PT_NAMES = {
+    "means": "means", "scales": "scales", "quats": "quats",
+    "features_dc": "featuresDc", "features_rest": "featuresRest",
+    "opacities": "opacities", "exposure": "exposure",
+}
+
+
+def save_model_pt(path: str, params: dict) -> None:
+    """Write model.pt as a TorchScript-module archive whose named buffers
+    match the reference's torch::serialize::OutputArchive layout
+    (raw_gs_param.cpp:220-238), so RawGaussianParams::loadTensor can
+    archive.read() each tensor by name.  The reference stores opacities as
+    [N,1]; ours is [N] and is expanded on write."""
+    import torch
+
+    mod = torch.nn.Module()
+    for ours, theirs in _PT_NAMES.items():
+        if ours not in params:
+            continue
+        v = np.asarray(params[ours], np.float32)
+        if ours == "opacities" and v.ndim == 1:
+            v = v[:, None]
+        # .copy() guarantees a writable owned buffer (torch rejects
+        # read-only views with a warning)
+        mod.register_buffer(theirs, torch.from_numpy(
+            np.ascontiguousarray(v).copy()))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    torch.jit.script(mod).save(path)
+
+
+def load_model_pt(path: str) -> dict:
+    """Read a model.pt written by save_model_pt OR by the reference's
+    saveTensor (both are TorchScript archives with the same buffer names).
+    Returns our snake_case param dict (opacities squeezed to [N])."""
+    import torch
+
+    mod = torch.jit.load(path, map_location="cpu")
+    found = {name: buf for name, buf in mod.named_buffers()}
+    # C++ OutputArchive::write stores plain attributes, not buffers —
+    # fall back to attribute lookup for reference-written archives
+    out = {}
+    for ours, theirs in _PT_NAMES.items():
+        t = found.get(theirs)
+        if t is None:
+            t = getattr(mod, theirs, None)
+        if t is None:
+            continue
+        v = t.detach().cpu().numpy().astype(np.float32)
+        if ours == "opacities":
+            v = v.reshape(v.shape[0])
+        out[ours] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
 # mesh PLY with per-vertex color (marching-cubes export)
 # ---------------------------------------------------------------------------
 

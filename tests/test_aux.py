@@ -241,3 +241,78 @@ def test_metrics_lpips_unavailable_marker(tmp_path):
     res = json.load(open(tmp_path / "results.json"))
     assert res["LPIPS"] == "unavailable"
     assert isinstance(res["PSNR"], float)
+
+
+def test_model_pt_and_ply_interop(tmp_path):
+    """model.pt (torch-archive, reference loadTensor layout,
+    raw_gs_param.cpp:220-254) and 3DGS binary PLY round-trip through the
+    io module, and GaussianModel.load opens each format."""
+    from gps_slam_tpu.utils import io as uio
+
+    rng = np.random.default_rng(0)
+    n, k_rest = 13, 15
+    params = {
+        "means": rng.normal(size=(n, 3)).astype(np.float32),
+        "scales": rng.normal(size=(n, 3)).astype(np.float32),
+        "quats": rng.normal(size=(n, 4)).astype(np.float32),
+        "features_dc": rng.normal(size=(n, 3)).astype(np.float32),
+        "features_rest": rng.normal(size=(n, k_rest, 3)).astype(np.float32),
+        "opacities": rng.normal(size=(n,)).astype(np.float32),
+        "exposure": rng.normal(size=(2, 3, 4)).astype(np.float32),
+    }
+
+    pt = str(tmp_path / "model.pt")
+    uio.save_model_pt(pt, params)
+    back = uio.load_model_pt(pt)
+    for k, v in params.items():
+        np.testing.assert_allclose(back[k], v, rtol=0, atol=0, err_msg=k)
+    # the archive really is a TorchScript zip with reference buffer names
+    import torch
+
+    mod = torch.jit.load(pt)
+    assert dict(mod.named_buffers())["featuresDc"].shape == (n, 3)
+    assert dict(mod.named_buffers())["opacities"].shape == (n, 1)
+
+    ply = str(tmp_path / "point_cloud.ply")
+    uio.save_gaussian_ply(ply, params["means"], params["scales"],
+                          params["quats"], params["features_dc"],
+                          params["features_rest"], params["opacities"])
+    back_ply = uio.load_gaussian_ply(ply)
+    for k in ("means", "scales", "quats", "features_dc", "features_rest"):
+        np.testing.assert_allclose(back_ply[k], params[k], err_msg=k)
+    np.testing.assert_allclose(back_ply["opacities"], params["opacities"])
+
+    # GaussianModel.load opens npz, pt, and ply alike
+    from gps_slam_tpu.config import Config
+    from gps_slam_tpu.gs.model import GaussianModel
+
+    cams = synthetic.make_cameras(n_frames=2, width=64, height=48)
+    node = {
+        "input_dir": "mem", "image_path": "c", "pose_path": "c",
+        "depth_path": "d", "pcd_name": "n", "depth_scale": 6553.5,
+        "scene_scale": 1.0, "start_frame": 0, "end_frame": 1,
+        "frame_step": 1,
+        "intrinsics": [cams[0].fx, cams[0].fy, cams[0].cx, cams[0].cy],
+        "image_shape": [64, 48], "downscale_factor": 1,
+        "test_split_interval": -1,
+    }
+    cfg_dict = synthetic.default_config_dict(str(tmp_path / "ws"), node)
+    cfg_dict["MODEL"]["sh_degree"] = 3
+    cfg_dict["TPU"] = {"gaussian_capacity": 256}
+    cfg = Config.from_dict(cfg_dict)
+    for leave_only in ("model.pt", "point_cloud.ply", "model.npz"):
+        d = tmp_path / f"load_{leave_only.split('.')[0]}_{leave_only[-3:]}"
+        os.makedirs(d, exist_ok=True)
+        np.savez(d / "model.npz", **params)
+        uio.save_model_pt(str(d / "model.pt"), params)
+        uio.save_gaussian_ply(str(d / "point_cloud.ply"), params["means"],
+                              params["scales"], params["quats"],
+                              params["features_dc"], params["features_rest"],
+                              params["opacities"])
+        for f in ("model.npz", "model.pt", "point_cloud.ply"):
+            if f != leave_only:
+                os.remove(d / f)
+        m = GaussianModel(cfg, 64, 48)
+        m.load(str(d))
+        got = np.asarray(m.pool.params["means"][: n])
+        np.testing.assert_allclose(got, params["means"], atol=1e-6)

@@ -19,6 +19,9 @@ def trained_workspace(tmp_path_factory):
     node = synthetic.write_dataset(str(tmp / "scene"), n_frames=13, width=160, height=120)
     cfg_dict = synthetic.default_config_dict(str(tmp / "scene"), node)
     cfg_dict["PIPE"]["eval_after_train"] = True
+    # debug-artifact mode (reference #ifndef LOG_PIPELINE_TIME writes):
+    # exercises per-window raycast comps + before_opt renders
+    cfg_dict["PIPE"]["log_slam_state"] = True
     cfg_path = str(tmp / "cfg.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg_dict, f)
@@ -37,6 +40,7 @@ def test_train_artifacts(trained_workspace):
     assert os.path.exists(os.path.join(ws, "tsdf_mesh.ply"))
     assert os.path.exists(os.path.join(ws, "tsdf_engine", "scene.npz"))
     assert os.path.exists(os.path.join(ws, "gs_model", "model.npz"))
+    assert os.path.exists(os.path.join(ws, "gs_model", "model.pt"))
     assert os.path.exists(os.path.join(ws, "gs_model", "point_cloud.ply"))
     assert os.path.exists(os.path.join(ws, "gs_model", "cameras.json"))
     assert os.path.exists(os.path.join(ws, "gs_model", "cfg_args"))
@@ -45,6 +49,12 @@ def test_train_artifacts(trained_workspace):
     renders = os.listdir(os.path.join(ws, "val", "render"))
     assert any(n.endswith(".color.jpg") for n in renders)
     assert len(os.listdir(os.path.join(ws, "val", "gt"))) > 0
+    # per-window debug artifacts (slam_pipeline.cpp:429-446, 499-504),
+    # written because the fixture sets log_slam_state and profiling is off
+    saved = os.listdir(os.path.join(ws, cfg["PIPE"]["TSDF"]["saved_images"]))
+    assert any(n.endswith(".color.jpg") for n in saved), saved
+    assert any(n.endswith(".depth.jpg") for n in saved), saved
+    assert len(os.listdir(os.path.join(ws, "before_opt"))) > 0
 
 
 def test_train_quality(trained_workspace):
