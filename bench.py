@@ -48,7 +48,17 @@ def main() -> None:
     from gps_slam_tpu.slam.pipeline import SLAMPipeline
     from gps_slam_tpu.tsdf.engine import TsdfEngine
 
-    cams = synthetic.make_cameras(n_frames=n_frames, width=width, height=height)
+    tracked_env = os.environ.get("BENCH_TRACKED", "0") == "1"
+    # gt-pose mode sweeps a wide orbit for fusion coverage; tracked mode
+    # uses Replica-like inter-frame motion (~0.5 deg/frame — the release
+    # datasets are 2000-frame smooth trajectories, replica_preprocess.py)
+    # so ICP operates in its designed regime.  The wide orbit's 6-15
+    # deg/frame jumps are outside any frame-to-frame ICP basin; reference
+    # behavior is the same (ITMExtendedTracker has no global relocalizer
+    # in the loop).
+    arc = float(os.environ.get("BENCH_ARC", "0.08" if tracked_env else "0.75"))
+    cams = synthetic.make_cameras(n_frames=n_frames, width=width,
+                                  height=height, arc=arc)
     cam0 = cams[0]
     node = {
         "input_dir": "mem", "image_path": "c", "pose_path": "c", "depth_path": "d",
@@ -81,7 +91,7 @@ def main() -> None:
         # nearest-first overflow sort's ~5 ms/frame
         "visible_sort_overflow": False,
     }
-    tracked = os.environ.get("BENCH_TRACKED", "0") == "1"
+    tracked = tracked_env
     if tracked:
         cfg_dict["PIPE"]["TSDF"]["use_gt_pose"] = False
     cfg = Config.from_dict(cfg_dict)

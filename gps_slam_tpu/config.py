@@ -292,6 +292,7 @@ class TpuConfig:
     raycast_max_steps: int = 96               # sphere-trace step budget
     max_weight: int = 100                     # TSDF running-average clamp (ITM maxW)
     alloc_steps: int = 4                      # mu-band march steps for allocation
+    alloc_stride: int = 2                     # pixel-grid subsample for candidates
     max_new_gaussians: int = 2 ** 14          # spawn cap per optimization window
     raycast_lb: int = 16                      # tile raycaster: blocks per tile (16 == 24 on the oracle scene, -12% raycast)
     raycast_samples: int = 4                  # coarse samples per (ray, block)

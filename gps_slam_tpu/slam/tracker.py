@@ -343,6 +343,8 @@ def _downsample_rgb(img: jax.Array) -> jax.Array:
 
 
 class ColorTracker:
+    needs_color = True   # tracking-prepare raycast must carry rgb
+
     """Photometric pose tracker against the model's raycast colors —
     ITMColorTracker (Trackers/Interface/ITMColorTracker.cpp:1-238,
     config `type=rgb,levels=rrbb` at ITMLibSettings.cpp:67-68): the
@@ -392,9 +394,11 @@ class ColorTracker:
             M, inl, mr, _ = _track_level_color(
                 M, vtx, col, valid, levels[lvl], gx, gy,
                 self.level_iters[li], lvl >= ROTATION_ONLY_FROM_LEVEL, cam)
-            inlier, mean_r = float(inl), float(mr)
+        # one host fetch after the level chain (see ICPTracker.track)
+        T, inlier, mean_r = jax.device_get((jnp.linalg.inv(M), inl, mr))
+        T = np.asarray(T)
+        inlier, mean_r = float(inlier), float(mean_r)
         self.last_inlier, self.last_residual = inlier, mean_r
-        T = np.asarray(jnp.linalg.inv(M))
         if not np.all(np.isfinite(T)):
             return last_pose, TrackerQuality.FAILED
         if inlier < self.min_inlier or mean_r > self.max_residual:
@@ -412,6 +416,10 @@ class CompositeTracker:
 
     def __init__(self, trackers: list):
         self.trackers = list(trackers)
+
+    @property
+    def needs_color(self) -> bool:
+        return any(getattr(t, "needs_color", False) for t in self.trackers)
 
     def track(self, last_pose, depth, raycast_maps, K, rgb=None):
         pose, quality = last_pose, TrackerQuality.POOR
@@ -481,6 +489,8 @@ def make_tracker(cfg: Config, width: int, height: int):
 
 
 class ICPTracker:
+    needs_color = False  # depth-only rrbb ICP: vertex/normal maps suffice
+
     def __init__(self, cfg: Config, width: int, height: int, n_levels: int = 4):
         self.cfg = cfg
         self.width, self.height = width, height
@@ -533,12 +543,18 @@ class ICPTracker:
                 space_thresh=jnp.asarray(self.space_thresh[li]),
                 tukey_c=jnp.asarray(self.tukey_c[li]),
             )
-            inlier, mean_r = float(inl), float(mr)
+        # ONE host fetch for (pose, inlier, residual) after the level
+        # chain — a float() per level cost 2 sync RTTs x 4 levels over
+        # the tunnel (~240 ms/frame; only the finest level's values are
+        # used by the quality gate anyway)
+        T, inlier, mean_r = jax.device_get((T, inl, mr))
+        T = np.asarray(T)
+        inlier, mean_r = float(inlier), float(mean_r)
         self.last_inlier, self.last_residual = inlier, mean_r
 
         # quality policy (replaces the SVM gate,
         # ITMExtendedTracker.cpp:398-468)
-        if not np.all(np.isfinite(np.asarray(T))):
+        if not np.all(np.isfinite(T)):
             return last_pose, TrackerQuality.FAILED
         if inlier < 0.08 or mean_r > 0.05:
             return last_pose, TrackerQuality.FAILED

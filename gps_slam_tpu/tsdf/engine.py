@@ -47,6 +47,7 @@ class TsdfEngine:
             max_probes=tpu.max_probes,
             visible_capacity=tpu.visible_block_capacity,
             alloc_steps=tpu.alloc_steps,
+            alloc_stride=tpu.alloc_stride,
             raycast_steps=tpu.raycast_max_steps,
             alloc_candidate_cap=tpu.alloc_candidate_cap,
             raycast_lb=tpu.raycast_lb,
@@ -321,8 +322,12 @@ class TsdfEngine:
 
         if self.tracking_active and self._tracker is not None:
             # raycast-prepare for the next frame's ICP
-            # (TrackingController::Prepare, ITMTrackingController.h:66)
-            self._last_raycast_for_tracking = self.run_raycast(self._last_pose)
+            # (TrackingController::Prepare, ITMTrackingController.h:66).
+            # Depth-only trackers consume vertex/normal maps; skip the
+            # color payload unless the attached tracker wants rgb
+            need_rgb = bool(getattr(self._tracker, "needs_color", False))
+            self._last_raycast_for_tracking = self.run_raycast(
+                self._last_pose, quality=False, need_color=need_rgb)
         return self._last_pose
 
     def can_chunk_fusion(self) -> bool:
@@ -384,7 +389,7 @@ class TsdfEngine:
 
     def run_raycast(self, c2w: np.ndarray, K: np.ndarray | None = None,
                     width: int | None = None, height: int | None = None,
-                    quality: bool = True) -> dict:
+                    quality: bool = True, need_color: bool = True) -> dict:
         """Raycast from an arbitrary pose (the fork's runRaycast service,
         ITMBasicEngine.tpp:501; consumed by SLAMPipeline::runRaycastByCam,
         slam_pipeline.cpp:362-415).
@@ -423,6 +428,7 @@ class TsdfEngine:
                 width, height, p.raycast_lb, p.raycast_samples,
                 max(p.raycast_bisect, 5), 2 if quality else 1, 8,
                 pool_prefix=self._pool_prefix(),
+                need_color=need_color,
             )
         return rc_tiles.raycast(
             self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,

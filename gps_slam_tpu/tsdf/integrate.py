@@ -362,6 +362,7 @@ def _fuse_frame_impl(
     cand = alloc_candidates(
         depth, c2w, fx, fy, cx, cy, p.voxel_size, p.mu,
         p.frustum_min, p.frustum_max, p.alloc_steps,
+        stride=p.alloc_stride,
     )
     if shard_n > 1:
         # spatial sharding (parallel/spatial.py): this device owns only

@@ -4,10 +4,23 @@ The XLA formulation (`integrate._window_sample` + the masked running
 averages in `fuse_frame`) stages its one-hot sampling matmuls through
 HBM ([chunk, 64, 512] partials; ~17 ms/frame at bench scale).  This
 kernel runs the whole window-sample + TSDF/color update for a block in
-VMEM: per visible block it takes the pre-gathered 64x64 depth/color
-window (contiguous 2x2 tile neighborhood), samples all 512 voxels with
-two one-hot MXU matmuls, and applies computeUpdatedVoxelDepthInfo /
-ColorInfo (ITMSceneReconstructionEngine_Shared.h:8-140) elementwise.
+VMEM: per visible block it samples all 512 voxels from a 64x64
+depth/color window (contiguous 2x2 tile neighborhood) with two one-hot
+MXU matmuls, and applies computeUpdatedVoxelDepthInfo / ColorInfo
+(ITMSceneReconstructionEngine_Shared.h:8-140) elementwise.
+
+Window sourcing has two modes:
+
+  * resident (default when the tiled image fits VMEM): the WHOLE tiled
+    depth/color planes (~3.4 MB each at 1200x680, stored [R, 8, 128] so
+    the lane dim is 128-aligned) ride into VMEM once per program, and
+    each block dynamic-slices its 2x2 tile neighborhood in-kernel.  The
+    pre-gather alternative materialized [V, 4, 32, 32] windows through
+    HBM — at V=8192 that is ~270 MB/frame written + re-read, 40x
+    duplicated (only ~800 distinct tiles exist), and its scatter-gather
+    fusions cost ~2.3 ms/frame in the round-4 trace.
+  * pre-gather (fallback for images whose tile planes exceed the VMEM
+    budget): the original [V, 4, PT, PT] row-gather outside the kernel.
 
 Everything is [*, 512]-shaped with the block's voxels in the lane
 dimension.  Padding rows of the visible list skip compute via pl.when;
@@ -28,15 +41,22 @@ from .volume import BLOCK, BLOCK_VOL
 
 PT = 32            # image tile edge
 WIN = 2 * PT       # gathered window edge
+# resident-mode VMEM budget for the two tile planes (f32 + u32)
+_RESIDENT_BYTES = 10 * 2 ** 20
 
 
-def _kernel(meta_ref, pose_ref, dwin_ref, cwin_ref, sdf_ref, w_ref, col_ref,
-            wc_ref, out_ref, *, C, voxel_size, mu, max_w, width, height):
+def _voxel_update(c, meta_ref, pose_ref, sample_fn, sdf_ref, w_ref,
+                  col_ref, wc_ref, out_ref, *, voxel_size, mu, max_w,
+                  width, height):
+    """The per-block voxel update.  `sample_fn(iu, iv) -> (d_meas, cms)`
+    selects the nearest depth tap ([1, 512]) and the three color taps
+    (list of [1, 512], 0..1) at window-local integer coordinates,
+    returning 0 outside the window — shared by both window-sourcing
+    kernels."""
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK_VOL), 1)
     vlx = (lin % BLOCK).astype(jnp.float32)
     vly = ((lin // BLOCK) % BLOCK).astype(jnp.float32)
     vlz = (lin // (BLOCK * BLOCK)).astype(jnp.float32)
-    i64 = jax.lax.broadcasted_iota(jnp.int32, (WIN, BLOCK_VOL), 0)
 
     R00, R01, R02 = pose_ref[0, 0], pose_ref[0, 1], pose_ref[0, 2]
     R10, R11, R12 = pose_ref[0, 3], pose_ref[0, 4], pose_ref[0, 5]
@@ -45,80 +65,161 @@ def _kernel(meta_ref, pose_ref, dwin_ref, cwin_ref, sdf_ref, w_ref, col_ref,
     fx, fy, cx, cy = (pose_ref[0, 12], pose_ref[0, 13],
                       pose_ref[0, 14], pose_ref[0, 15])
 
+    bxw, byw, bzw = meta_ref[c, 0], meta_ref[c, 1], meta_ref[c, 2]
+    ax, ay = meta_ref[c, 3], meta_ref[c, 4]
+    px = (bxw + vlx) * voxel_size
+    py = (byw + vly) * voxel_size
+    pz = (bzw + vlz) * voxel_size
+    zc = R20 * px + R21 * py + R22 * pz + t2        # [1, 512]
+    xc = R00 * px + R01 * py + R02 * pz + t0
+    yc = R10 * px + R11 * py + R12 * pz + t1
+    zs = jnp.where(jnp.abs(zc) < 1e-9, 1e-9, zc)
+    u = fx * xc / zs + cx
+    v = fy * yc / zs + cy
+    in_img = ((zc > 0) & (u >= 1) & (u <= width - 2)
+              & (v >= 1) & (v <= height - 2))
+    iu = jnp.round(u).astype(jnp.int32) - (ax * PT).astype(jnp.int32)
+    iv = jnp.round(v).astype(jnp.int32) - (ay * PT).astype(jnp.int32)
+    in_win = (iu >= 0) & (iu < WIN) & (iv >= 0) & (iv < WIN)
+    d_meas, cms = sample_fn(iu, iv)
+
+    old_f = sdf_ref[c][None, :]                     # [1, 512]
+    old_w = w_ref[c][None, :]
+    eta = d_meas - zc
+    update = (in_img & in_win & (d_meas > 0)
+              & (eta >= -mu))
+    new_obs = jnp.minimum(1.0, eta / mu)
+    den = old_w + 1.0
+    new_f = jnp.where(update, (old_w * old_f + new_obs) / den, old_f)
+    new_w = jnp.where(update, jnp.minimum(den, float(max_w)), old_w)
+
+    color_update = update & (eta <= mu) & (jnp.abs(eta / mu) < 0.25)
+    cold = col_ref[c]                               # [512] u32 packed
+    out_ref[c, 0] = new_f[0]
+    out_ref[c, 1] = new_w[0]
+    old_wc = wc_ref[c][None, :]                     # [1, 512]
+    wc_den = old_wc + 1.0
+    for ch in range(3):
+        oc = ((cold >> (8 * ch)) & 0xFF).astype(jnp.int32).astype(
+            jnp.float32)[None, :] / 255.0
+        nc = jnp.where(
+            color_update, (oc * old_wc + cms[ch]) / wc_den, oc)
+        out_ref[c, 2 + ch] = nc[0]
+    out_ref[c, 5] = jnp.where(
+        color_update, jnp.minimum(wc_den, float(max_w)), old_wc)[0]
+
+
+def _kernel_pregather(meta_ref, pose_ref, dwin_ref, cwin_ref, sdf_ref,
+                      w_ref, col_ref, wc_ref, out_ref, *, C, voxel_size,
+                      mu, max_w, width, height):
+    i64 = jax.lax.broadcasted_iota(jnp.int32, (WIN, BLOCK_VOL), 0)
     for c in range(C):
         valid = meta_ref[c, 5] > 0
 
         @pl.when(valid)
         def _():
-            bxw, byw, bzw = meta_ref[c, 0], meta_ref[c, 1], meta_ref[c, 2]
-            ax, ay = meta_ref[c, 3], meta_ref[c, 4]
-            px = (bxw + vlx) * voxel_size
-            py = (byw + vly) * voxel_size
-            pz = (bzw + vlz) * voxel_size
-            zc = R20 * px + R21 * py + R22 * pz + t2        # [1, 512]
-            xc = R00 * px + R01 * py + R02 * pz + t0
-            yc = R10 * px + R11 * py + R12 * pz + t1
-            zs = jnp.where(jnp.abs(zc) < 1e-9, 1e-9, zc)
-            u = fx * xc / zs + cx
-            v = fy * yc / zs + cy
-            in_img = ((zc > 0) & (u >= 1) & (u <= width - 2)
-                      & (v >= 1) & (v <= height - 2))
-            iu = jnp.round(u).astype(jnp.int32) - (ax * PT).astype(jnp.int32)
-            iv = jnp.round(v).astype(jnp.int32) - (ay * PT).astype(jnp.int32)
-            in_win = (iu >= 0) & (iu < WIN) & (iv >= 0) & (iv < WIN)
-            uh = (i64 == jnp.clip(iu, 0, WIN - 1)).astype(jnp.float32)
-            vh = (i64 == jnp.clip(iv, 0, WIN - 1)).astype(jnp.float32)
-
             d4 = dwin_ref[c]                                # [4, PT, PT] f32
             dwin = jnp.concatenate([
                 jnp.concatenate([d4[0], d4[1]], 1),
                 jnp.concatenate([d4[2], d4[3]], 1)], 0)     # [64, 64]
-            # HIGHEST: the one-hot select must not round metres through
-            # bf16 MXU passes (1 cm of depth error = 0.5 sdf at mu=2 cm)
-            A = jax.lax.dot_general(
-                dwin, uh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)        # [64, 512]
-            d_meas = jnp.sum(vh * A, 0, keepdims=True)      # [1, 512]
-
             c4 = cwin_ref[c]                                # [4, PT, PT] u32
             cwin = jnp.concatenate([
                 jnp.concatenate([c4[0], c4[1]], 1),
                 jnp.concatenate([c4[2], c4[3]], 1)], 0)     # [64, 64] packed
-            uh_b = uh.astype(jnp.bfloat16)
-            cms = []
-            for ch in range(3):
-                cf = ((cwin >> (8 * ch)) & 0xFF).astype(jnp.int32).astype(
-                    jnp.float32).astype(jnp.bfloat16)
-                Ac = jax.lax.dot_general(
-                    cf, uh_b, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                cms.append(jnp.sum(vh * Ac, 0, keepdims=True) * (1.0 / 255.0))
 
-            old_f = sdf_ref[c][None, :]                     # [1, 512]
-            old_w = w_ref[c][None, :]
-            eta = d_meas - zc
-            update = (in_img & in_win & (d_meas > 0)
-                      & (eta >= -mu))
-            new_obs = jnp.minimum(1.0, eta / mu)
-            den = old_w + 1.0
-            new_f = jnp.where(update, (old_w * old_f + new_obs) / den, old_f)
-            new_w = jnp.where(update, jnp.minimum(den, float(max_w)), old_w)
+            def sample(iu, iv):
+                in_win = ((iu >= 0) & (iu < WIN) & (iv >= 0) & (iv < WIN))
+                uh = ((i64 == jnp.clip(iu, 0, WIN - 1)) & in_win
+                      ).astype(jnp.float32)
+                vh = (i64 == jnp.clip(iv, 0, WIN - 1)).astype(jnp.float32)
+                # HIGHEST: the one-hot select must not round metres
+                # through bf16 MXU passes (1 cm depth = 0.5 sdf at mu=2cm)
+                A = jax.lax.dot_general(
+                    dwin, uh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # [64, 512]
+                d_meas = jnp.sum(vh * A, 0, keepdims=True)   # [1, 512]
+                uh_b = uh.astype(jnp.bfloat16)
+                cms = []
+                for ch in range(3):
+                    cf = ((cwin >> (8 * ch)) & 0xFF).astype(
+                        jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+                    Ac = jax.lax.dot_general(
+                        cf, uh_b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    cms.append(
+                        jnp.sum(vh * Ac, 0, keepdims=True) * (1.0 / 255.0))
+                return d_meas, cms
 
-            color_update = update & (eta <= mu) & (jnp.abs(eta / mu) < 0.25)
-            cold = col_ref[c]                               # [512] u32 packed
-            out_ref[c, 0] = new_f[0]
-            out_ref[c, 1] = new_w[0]
-            old_wc = wc_ref[c][None, :]                     # [1, 512]
-            wc_den = old_wc + 1.0
-            for ch in range(3):
-                oc = ((cold >> (8 * ch)) & 0xFF).astype(jnp.int32).astype(
-                    jnp.float32)[None, :] / 255.0
-                nc = jnp.where(
-                    color_update, (oc * old_wc + cms[ch]) / wc_den, oc)
-                out_ref[c, 2 + ch] = nc[0]
-            out_ref[c, 5] = jnp.where(
-                color_update, jnp.minimum(wc_den, float(max_w)), old_wc)[0]
+            _voxel_update(c, meta_ref, pose_ref, sample, sdf_ref,
+                          w_ref, col_ref, wc_ref, out_ref,
+                          voxel_size=voxel_size, mu=mu, max_w=max_w,
+                          width=width, height=height)
+
+
+def _kernel_resident(meta_ref, pose_ref, dall_ref, call_ref, sdf_ref,
+                     w_ref, col_ref, wc_ref, out_ref, *, C, tw, voxel_size,
+                     mu, max_w, width, height):
+    """Window sourcing from the VMEM-resident tile planes [R, 8, 128]
+    (each row one PT x PT tile in row-major order: element (r, q) of a
+    tile sits at [r // 4, (r % 4) * PT + q]).  Per block, two dynamic
+    2-row slices fetch the [top-left, top-right] and [bottom-left,
+    bottom-right] tile pairs (contiguous row ids r0, r0+1 and r0+tw,
+    r0+tw+1).  The one-hot select runs per tile in the [8, 128] domain —
+    4 matmuls [8,128]x[128,512], the same MXU work as the pre-gather
+    kernel's one [64,64]x[64,512] (Mosaic cannot shape-cast [8,128] tiles
+    to [32,32], so the select never assembles a [64,64] window)."""
+    i128 = jax.lax.broadcasted_iota(jnp.int32, (128, BLOCK_VOL), 0)
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (8, BLOCK_VOL), 0)
+    for c in range(C):
+        valid = meta_ref[c, 5] > 0
+
+        @pl.when(valid)
+        def _():
+            ax = meta_ref[c, 3].astype(jnp.int32)
+            ay = meta_ref[c, 4].astype(jnp.int32)
+            r0 = ay * tw + ax
+            dt = dall_ref[pl.ds(r0, 2)]          # [2, 8, 128] f32
+            db = dall_ref[pl.ds(r0 + tw, 2)]
+            ct = call_ref[pl.ds(r0, 2)]          # [2, 8, 128] u32
+            cb = call_ref[pl.ds(r0 + tw, 2)]
+            tiles = ((dt[0], ct[0], 0, 0), (dt[1], ct[1], PT, 0),
+                     (db[0], cb[0], 0, PT), (db[1], cb[1], PT, PT))
+
+            def sample(iu, iv):
+                d_meas = jnp.zeros((1, BLOCK_VOL), jnp.float32)
+                cacc = [jnp.zeros((1, BLOCK_VOL), jnp.float32)
+                        for _ in range(3)]
+                for dtile, ctile, dx, dy in tiles:
+                    ju = iu - dx
+                    jv = iv - dy
+                    inm = ((ju >= 0) & (ju < PT) & (jv >= 0) & (jv < PT))
+                    juc = jnp.clip(ju, 0, PT - 1)
+                    jvc = jnp.clip(jv, 0, PT - 1)
+                    lane = (jvc & 3) * PT + juc          # [1, 512] in [0,128)
+                    sub = jvc >> 2                       # [1, 512] in [0,8)
+                    uh = ((i128 == lane) & inm).astype(jnp.float32)
+                    vh = (i8 == sub).astype(jnp.float32)
+                    A = jax.lax.dot_general(
+                        dtile, uh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [8, 512]
+                    d_meas = d_meas + jnp.sum(vh * A, 0, keepdims=True)
+                    uh_b = uh.astype(jnp.bfloat16)
+                    for ch in range(3):
+                        cf = ((ctile >> (8 * ch)) & 0xFF).astype(
+                            jnp.int32).astype(jnp.float32).astype(
+                            jnp.bfloat16)
+                        Ac = jax.lax.dot_general(
+                            cf, uh_b, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        cacc[ch] = cacc[ch] + jnp.sum(
+                            vh * Ac, 0, keepdims=True) * (1.0 / 255.0)
+                return d_meas, cacc
+
+            _voxel_update(c, meta_ref, pose_ref, sample, sdf_ref, w_ref,
+                          col_ref, wc_ref, out_ref, voxel_size=voxel_size,
+                          mu=mu, max_w=max_w, width=width, height=height)
 
 
 def integrate_blocks(
@@ -135,6 +236,7 @@ def integrate_blocks(
     width: int, height: int,
     voxel_size: float, mu: float, max_w: int,
     blocks_per_step: int = 8,
+    interpret: bool = False,
 ):
     """Returns (new_f [V,512], new_w [V,512], new_c [V,512,3] float 0..1,
     new_wc [V,512]).  Rows with vis_valid=False return stale values —
@@ -148,6 +250,7 @@ def integrate_blocks(
         th * tw, PT, PT)
     c_tiles = cpad.reshape(th, PT, tw, PT).transpose(0, 2, 1, 3).reshape(
         th * tw, PT, PT)
+    resident = (th * tw) * PT * PT * 8 <= _RESIDENT_BYTES
 
     # per-block meta: world min corner (voxel units), window anchor, valid
     bx, by, bz = vhash.unpack(keys)
@@ -177,14 +280,6 @@ def integrate_blocks(
         [bxf, byf, bzf, ax, ay, vis_valid.astype(jnp.float32),
          jnp.zeros((V,)), jnp.zeros((V,))], axis=1)          # [V, 8]
 
-    rows0 = (ay * tw + ax).astype(jnp.int32)
-    rows = rows0[:, None] + jnp.asarray([0, 1, tw, tw + 1], jnp.int32)[None]
-    # row-gather the 2x2 tile neighborhoods; the 64x64 window is
-    # assembled INSIDE the kernel (a [V,2,32,2,32] transpose here costs
-    # ~2 ms/frame of pure layout copies)
-    dwin = d_tiles[rows]                                    # [V, 4, PT, PT]
-    cwin = c_tiles[rows]
-
     pose = jnp.concatenate([
         R.reshape(-1), t, jnp.asarray([fx, fy, cx, cy]).reshape(-1)
     ]).reshape(1, 16).astype(jnp.float32)
@@ -192,34 +287,64 @@ def integrate_blocks(
     C = blocks_per_step
     n_steps = -(-V // C)
     V_pad = n_steps * C
+
     def padv(x, fill=0):
         if V_pad == V:
             return x
         return jnp.concatenate(
             [x, jnp.full((V_pad - V, *x.shape[1:]), fill, x.dtype)], 0)
 
-    kern = functools.partial(
-        _kernel, C=C, voxel_size=voxel_size, mu=mu, max_w=max_w,
-        width=width, height=height)
     spec = lambda shape, ms=pltpu.VMEM: pl.BlockSpec(
         (C, *shape), lambda i: (i, *([0] * len(shape))), memory_space=ms)
     pose_spec = pl.BlockSpec((1, 16), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
     meta_spec = pl.BlockSpec((C, 8), lambda i: (i, 0),
                              memory_space=pltpu.SMEM)
+    blk_specs = [spec((BLOCK_VOL,))] * 4
+    out_spec = spec((8, BLOCK_VOL))
+    out_shape = jax.ShapeDtypeStruct((V_pad, 8, BLOCK_VOL), jnp.float32)
 
-    out = pl.pallas_call(
-        kern,
-        grid=(n_steps,),
-        in_specs=[
-            meta_spec, pose_spec, spec((4, PT, PT)), spec((4, PT, PT)),
-            spec((BLOCK_VOL,)), spec((BLOCK_VOL,)), spec((BLOCK_VOL,)),
-            spec((BLOCK_VOL,)),
-        ],
-        out_specs=spec((8, BLOCK_VOL)),
-        out_shape=jax.ShapeDtypeStruct((V_pad, 8, BLOCK_VOL), jnp.float32),
-    )(padv(meta), pose, padv(dwin), padv(cwin), padv(old_sdf),
-      padv(old_w), padv(old_color_packed), padv(old_wc))
+    if resident:
+        # [R, 8, 128] keeps the lane dim 128-aligned; a [R, 32, 32]
+        # resident plane would be lane-padded 4x by the T(8,128) tiling
+        # and blow the VMEM budget
+        R_t = th * tw
+        d_res = d_tiles.reshape(R_t, 8, 128)
+        c_res = c_tiles.reshape(R_t, 8, 128)
+        res_spec = lambda: pl.BlockSpec(
+            (R_t, 8, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _kernel_resident, C=C, tw=tw, voxel_size=voxel_size, mu=mu,
+            max_w=max_w, width=width, height=height)
+        out = pl.pallas_call(
+            kern,
+            grid=(n_steps,),
+            in_specs=[meta_spec, pose_spec, res_spec(),
+                      res_spec(), *blk_specs],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(padv(meta), pose, d_res, c_res, padv(old_sdf),
+          padv(old_w), padv(old_color_packed), padv(old_wc))
+    else:
+        rows0 = (ay * tw + ax).astype(jnp.int32)
+        rows = rows0[:, None] + jnp.asarray(
+            [0, 1, tw, tw + 1], jnp.int32)[None]
+        dwin = d_tiles[rows]                                # [V, 4, PT, PT]
+        cwin = c_tiles[rows]
+        kern = functools.partial(
+            _kernel_pregather, C=C, voxel_size=voxel_size, mu=mu,
+            max_w=max_w, width=width, height=height)
+        out = pl.pallas_call(
+            kern,
+            grid=(n_steps,),
+            in_specs=[meta_spec, pose_spec, spec((4, PT, PT)),
+                      spec((4, PT, PT)), *blk_specs],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(padv(meta), pose, padv(dwin), padv(cwin), padv(old_sdf),
+          padv(old_w), padv(old_color_packed), padv(old_wc))
 
     new_f = out[:V, 0]
     new_w = out[:V, 1]

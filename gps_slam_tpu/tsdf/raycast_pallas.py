@@ -50,7 +50,7 @@ NEAR = 0.9
 
 def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
             *, C, LB, s_coarse, s_refine, k_blocks,
-            inv_vox, ext, frustum_min, frustum_max):
+            inv_vox, ext, frustum_min, frustum_max, need_color=True):
     """One grid step: C tiles.  All per-tile arrays keep the 256-pixel
     tile in the LANE dimension ([*, P]); cube payloads are selected into
     [512, P] so the separable trilinear stages are sublane reshapes."""
@@ -305,21 +305,28 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
             w_ref[c], ohw, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # [512, P]
         conf = tri3(w_sel)
-        c_sel = jax.lax.dot_general(
-            col_ref[c], ohw, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [1536, P]
         fm = found.astype(jnp.float32)
         out_ref[c, 0] = (t_star * fm)[0]
         out_ref[c, 1] = ((conf + 1.0) * fm)[0]
-        for ch in range(3):
-            col_ch = tri3(c_sel[ch * 512:(ch + 1) * 512]) * (1.0 / 255.0)
-            out_ref[c, 2 + ch] = (col_ch * fm)[0]
+        if need_color:
+            c_sel = jax.lax.dot_general(
+                col_ref[c], ohw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [1536, P]
+            for ch in range(3):
+                col_ch = tri3(c_sel[ch * 512:(ch + 1) * 512]) * (1.0 / 255.0)
+                out_ref[c, 2 + ch] = (col_ch * fm)[0]
+        else:
+            # tracking-prepare mode: ICP consumes vertex/normal only —
+            # skip the [T, LB, 1536] color payload (~158 MB/camera at
+            # bench scale) and the 3 tri3 chains
+            for ch in range(3):
+                out_ref[c, 2 + ch] = jnp.zeros((P,), jnp.float32)
         out_ref[c, 5] = fm[0]
         out_ref[c, 6] = jnp.zeros((P,), jnp.float32)
         out_ref[c, 7] = jnp.zeros((P,), jnp.float32)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def raycast(
     vol: TsdfVolume,
     c2w: jax.Array,
@@ -333,6 +340,7 @@ def raycast(
     tiles_per_step: int = 4,
     interpret: bool = False,
     pool_prefix: int | None = None,
+    need_color: bool = True,
 ):
     """Drop-in replacement for raycast_tiles.raycast (same output dict)."""
     p = vol.params
@@ -362,11 +370,14 @@ def raycast(
                 * INV_SDF_SCALE).astype(jnp.bfloat16)          # [T, LB, 512]
     mip_rows = vol.mip[gids].astype(jnp.bfloat16)              # [T, LB, 64]
     w_rows = vol.w_depth[gids].astype(jnp.bfloat16)            # [T, LB, 512]
-    cp = vol.color[gids]                                       # [T, LB, 512] u32
-    col_rows = jnp.concatenate(
-        [((cp >> (8 * ch)) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16)
-         for ch in range(3)], axis=-1,
-    )                                                          # channel-major [T, LB, 1536]
+    if need_color:
+        cp = vol.color[gids]                                   # [T, LB, 512] u32
+        col_rows = jnp.concatenate(
+            [((cp >> (8 * ch)) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16)
+             for ch in range(3)], axis=-1,
+        )                                                      # channel-major [T, LB, 1536]
+    else:
+        col_rows = jnp.zeros((T, 1, 128), jnp.bfloat16)        # spec stub
     bx, by, bz = vhash.unpack(vol.block_coords[gids])
     borg = jnp.stack([bx, by, bz], -1).astype(jnp.float32) * (
         p.voxel_size * BLOCK) - t[None, None, :]               # camera-relative
@@ -409,6 +420,7 @@ def raycast(
         k_blocks=k_blocks, inv_vox=1.0 / p.voxel_size,
         ext=p.voxel_size * BLOCK,
         frustum_min=p.frustum_min, frustum_max=p.frustum_max,
+        need_color=need_color,
     )
     spec = lambda shape: pl.BlockSpec(
         (C, *shape), lambda i: (i, *([0] * len(shape))),
@@ -418,7 +430,8 @@ def raycast(
         grid=(n_steps,),
         in_specs=[
             spec((lb, 3)), spec((3, P)), spec((lb, 512)),
-            spec((lb, 64)), spec((lb, 512)), spec((lb, 3 * 512)),
+            spec((lb, 64)), spec((lb, 512)),
+            spec((lb, 3 * 512)) if need_color else spec((1, 128)),
         ],
         out_specs=spec((8, P)),
         out_shape=jax.ShapeDtypeStruct((T_pad, 8, P), jnp.float32),

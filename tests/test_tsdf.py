@@ -379,3 +379,95 @@ def test_pallas_raycast_matches_xla(fused_volume):
     assert np.median(err_p) < vol.params.voxel_size, np.median(err_p)
     cerr = np.abs(np.asarray(out_p["color_map"])[dp > 0] - cam.image[dp > 0]).mean()
     assert cerr < 0.15, cerr
+
+
+def test_integrate_pallas_interpret_equivalence():
+    """The integrate kernel's two window-sourcing modes (VMEM-resident
+    tile planes vs pre-gathered [V,4,PT,PT] windows) agree exactly, and
+    both match a numpy oracle of computeUpdatedVoxelDepthInfo/ColorInfo
+    (ITMSceneReconstructionEngine_Shared.h:8-140) on valid rows."""
+    import gps_slam_tpu.tsdf.integrate_pallas as ipk
+    from gps_slam_tpu.tsdf import hash as vhash
+    from gps_slam_tpu.tsdf.volume import BLOCK
+
+    rng = np.random.default_rng(0)
+    W, H = 96, 72
+    depth_np = np.abs(rng.normal(1.0, 0.1, (H, W))).astype(np.float32)
+    rgbp_np = rng.integers(0, 2 ** 24, (H, W), dtype=np.uint32)
+    vox, mu, maxw = 0.01, 0.02, 100
+    bxyz = np.stack(np.meshgrid(np.arange(-3, 3), np.arange(-2, 2),
+                                np.arange(10, 14), indexing="ij"),
+                    -1).reshape(-1, 3).astype(np.int32)
+    keys = vhash.pack(jnp.asarray(bxyz[:, 0]), jnp.asarray(bxyz[:, 1]),
+                      jnp.asarray(bxyz[:, 2]))
+    V = keys.shape[0]
+    valid_np = rng.random(V) > 0.1
+    old_sdf = rng.uniform(-1, 1, (V, 512)).astype(np.float32)
+    old_w = rng.integers(0, 50, (V, 512)).astype(np.float32)
+    old_cp = rng.integers(0, 2 ** 24, (V, 512), dtype=np.uint32)
+    old_wc = rng.integers(0, 50, (V, 512)).astype(np.float32)
+    fx = fy = 80.0
+    cx, cy = W / 2, H / 2
+    args = (jnp.asarray(depth_np), jnp.asarray(rgbp_np), keys,
+            jnp.asarray(valid_np), jnp.asarray(old_sdf),
+            jnp.asarray(old_w), jnp.asarray(old_cp), jnp.asarray(old_wc),
+            jnp.eye(4), fx, fy, cx, cy, W, H, vox, mu, maxw)
+    r_res = ipk.integrate_blocks(*args, interpret=True)
+    saved = ipk._RESIDENT_BYTES
+    try:
+        ipk._RESIDENT_BYTES = 0          # force the pre-gather fallback
+        r_pre = ipk.integrate_blocks(*args, interpret=True)
+    finally:
+        ipk._RESIDENT_BYTES = saved
+    vm = valid_np
+    for a, b, n in zip(r_res, r_pre, ("f", "w", "c", "wc")):
+        np.testing.assert_array_equal(np.asarray(a)[vm], np.asarray(b)[vm],
+                                      err_msg=n)
+
+    # numpy oracle (nearest tap, window-clamped like the kernel)
+    PT = ipk.PT
+    WINE = ipk.WIN
+    tw, th = -(-W // PT), -(-H // PT)
+    vx = np.arange(512) % BLOCK
+    vy = (np.arange(512) // BLOCK) % BLOCK
+    vz = np.arange(512) // (BLOCK * BLOCK)
+    new_f, new_w = old_sdf.copy(), old_w.copy()
+    upd_frac = []
+    for b in range(V):
+        if not vm[b]:
+            continue
+        px = (bxyz[b, 0] * BLOCK + vx) * vox
+        py = (bxyz[b, 1] * BLOCK + vy) * vox
+        pz = (bxyz[b, 2] * BLOCK + vz) * vox
+        u = fx * px / pz + cx
+        v = fy * py / pz + cy
+        in_img = (pz > 0) & (u >= 1) & (u <= W - 2) & (v >= 1) & (v <= H - 2)
+        # window anchor from the block's 8 corners (min projection)
+        ext = vox * BLOCK
+        us, vs = [], []
+        for ox in (0.0, ext):
+            for oy in (0.0, ext):
+                for oz in (0.0, ext):
+                    zz = max(bxyz[b, 2] * ext + oz, 1e-6)
+                    us.append(fx * (bxyz[b, 0] * ext + ox) / zz + cx)
+                    vs.append(fy * (bxyz[b, 1] * ext + oy) / zz + cy)
+        ax = int(np.clip(np.floor(min(us) / PT), 0, tw - 2))
+        ay = int(np.clip(np.floor(min(vs) / PT), 0, th - 2))
+        iu = np.round(u).astype(int) - ax * PT
+        iv = np.round(v).astype(int) - ay * PT
+        in_win = (iu >= 0) & (iu < WINE) & (iv >= 0) & (iv < WINE)
+        gu = np.clip(np.round(u).astype(int), 0, W - 1)
+        gv = np.clip(np.round(v).astype(int), 0, H - 1)
+        dm = depth_np[gv, gu]
+        eta = dm - pz
+        upd = in_img & in_win & (dm > 0) & (eta >= -mu)
+        upd_frac.append(upd.mean())
+        den = old_w[b] + 1.0
+        new_f[b] = np.where(upd, (old_w[b] * old_sdf[b]
+                                  + np.minimum(1.0, eta / mu)) / den,
+                            old_sdf[b])
+        new_w[b] = np.where(upd, np.minimum(den, float(maxw)), old_w[b])
+    np.testing.assert_allclose(np.asarray(r_res[0])[vm], new_f[vm],
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r_res[1])[vm], new_w[vm])
+    assert np.mean(upd_frac) > 0.3      # the scene really exercises updates

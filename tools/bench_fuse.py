@@ -61,6 +61,7 @@ def main() -> None:
         "raycast_lb": int(os.environ.get("RAY_LB", "16")),
         "raycast_samples": int(os.environ.get("RAY_SAMPLES", "4")),
         "alloc_steps": int(os.environ.get("ALLOC_STEPS", "4")),
+        "alloc_stride": int(os.environ.get("ALLOC_STRIDE", "2")),
         "alloc_candidate_cap": int(os.environ.get("ALLOC_CAP", str(2 ** 15))),
         "raycast_bisect": int(os.environ.get("RAY_BISECT", "6")),
         "visible_sort_overflow": False,
