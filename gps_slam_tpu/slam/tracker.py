@@ -375,7 +375,7 @@ class ColorTracker:
         vtx = jnp.asarray(raycast_maps["vertex_map"])[::s, ::s].reshape(-1, 3)
         col = jnp.asarray(raycast_maps["color_map"])[::s, ::s].reshape(-1, 3)
         valid = jnp.abs(vtx).sum(-1) > 0
-        img0 = jnp.asarray(np.asarray(rgb).reshape(self.height, self.width, 3))
+        img0 = jnp.asarray(rgb).reshape(self.height, self.width, 3)
         from ..utils.se3 import _sobel
 
         levels = [img0]
@@ -517,7 +517,9 @@ class ICPTracker:
         by the depth-only path."""
         if raycast_maps is None:
             return last_pose, TrackerQuality.POOR
-        d0 = jnp.asarray(np.asarray(depth).reshape(self.height, self.width))
+        # reshape ON DEVICE: np.asarray(depth) on a device-cached frame
+        # round-trips ~3 MB through the host link twice per frame
+        d0 = jnp.asarray(depth).reshape(self.height, self.width)
         pyramid = [d0]
         for _ in range(self.n_levels - 1):
             pyramid.append(_subsample_depth(pyramid[-1]))
