@@ -86,6 +86,11 @@ def main() -> None:
         # output line and the [BIN OVERFLOW] counter audit the caps
         "max_isects": 2 ** 20, "tile_gaussian_cap": 64,
         "raycast_lb": 16, "tiles_per_gaussian_cap": 9,
+        # stride-3 allocation candidates: -3.4 ms/frame of dedup sort at
+        # identical raycast quality (tools/bench_fuse.py sweep); blocks
+        # are >=25 px at 1 m so a 3-px grid still names every surface
+        # block, and a missed sliver re-candidates next frame
+        "alloc_stride": int(os.environ.get("BENCH_ALLOC_STRIDE", "3")),
         # the 8192 cap covers this scene's visible set (PSNR in the output
         # line audits it: 24.49, identical to the 2^14 run) — skip the
         # nearest-first overflow sort's ~5 ms/frame

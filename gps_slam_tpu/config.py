@@ -297,6 +297,7 @@ class TpuConfig:
     raycast_lb: int = 16                      # tile raycaster: blocks per tile (16 == 24 on the oracle scene, -12% raycast)
     raycast_samples: int = 4                  # coarse samples per (ray, block)
     raycast_bisect: int = 6                   # bisection refinement iterations
+    raycast_tiles_per_step: int = 8           # tiles per Mosaic grid step
     alloc_candidate_cap: int = 2 ** 15        # deduped block candidates per frame
     visible_sort_overflow: bool = True        # nearest-first visible-list overflow
     active_tile_cap: int = 2048               # Gaussian-occupied tiles per render

@@ -48,6 +48,7 @@ class TsdfEngine:
             visible_capacity=tpu.visible_block_capacity,
             alloc_steps=tpu.alloc_steps,
             alloc_stride=tpu.alloc_stride,
+            raycast_tiles_per_step=tpu.raycast_tiles_per_step,
             raycast_steps=tpu.raycast_max_steps,
             alloc_candidate_cap=tpu.alloc_candidate_cap,
             raycast_lb=tpu.raycast_lb,
@@ -426,7 +427,8 @@ class TsdfEngine:
             return rc_pallas.raycast(
                 self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
                 width, height, p.raycast_lb, p.raycast_samples,
-                max(p.raycast_bisect, 5), 2 if quality else 1, 8,
+                max(p.raycast_bisect, 5), 2 if quality else 1,
+                p.raycast_tiles_per_step,
                 pool_prefix=self._pool_prefix(),
                 need_color=need_color,
             )
@@ -458,7 +460,8 @@ class TsdfEngine:
             return rc_pallas.raycast_batch(
                 self.vol, jnp.asarray(c2ws), K_dev,
                 self.width, self.height, p.raycast_lb, p.raycast_samples,
-                max(p.raycast_bisect, 5), 2 if quality else 1, 8,
+                max(p.raycast_bisect, 5), 2 if quality else 1,
+                p.raycast_tiles_per_step,
                 pool_prefix=self._pool_prefix(),
             )
         return rc_tiles.raycast_batch(

@@ -67,6 +67,7 @@ class TsdfParams:
     visible_capacity: int = struct.field(pytree_node=False, default=2 ** 15)
     alloc_steps: int = struct.field(pytree_node=False, default=4)
     alloc_stride: int = struct.field(pytree_node=False, default=2)
+    raycast_tiles_per_step: int = struct.field(pytree_node=False, default=8)
     alloc_candidate_cap: int = struct.field(pytree_node=False, default=2 ** 15)
     raycast_lb: int = struct.field(pytree_node=False, default=24)      # blocks/tile
     raycast_samples: int = struct.field(pytree_node=False, default=4)  # coarse samples/block

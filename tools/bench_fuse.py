@@ -64,6 +64,7 @@ def main() -> None:
         "alloc_stride": int(os.environ.get("ALLOC_STRIDE", "2")),
         "alloc_candidate_cap": int(os.environ.get("ALLOC_CAP", str(2 ** 15))),
         "raycast_bisect": int(os.environ.get("RAY_BISECT", "6")),
+        "raycast_tiles_per_step": int(os.environ.get("RAY_C", "8")),
         "visible_sort_overflow": False,
     }
     cfg = Config.from_dict(cfg_dict)

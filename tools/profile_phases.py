@@ -114,6 +114,7 @@ def run_loop(n_frames: int, width: int, height: int, trace_dir: str) -> None:
         "block_capacity": 2 ** 17, "visible_block_capacity": 2 ** 13,
         "max_isects": 2 ** 20, "tile_gaussian_cap": 64,
         "raycast_lb": 16, "tiles_per_gaussian_cap": 9,
+        "alloc_stride": int(os.environ.get("BENCH_ALLOC_STRIDE", "3")),
         "visible_sort_overflow": False,
     }
     cfg = Config.from_dict(cfg_dict)
