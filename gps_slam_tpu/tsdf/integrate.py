@@ -416,18 +416,22 @@ def _fuse_frame_impl(
     if use_pallas:
         from . import integrate_pallas as ipk
 
-        old_color_packed = vol.color[vis_safe]  # pool is u32-packed already
-        new_f, new_w, new_c, new_wc = ipk.integrate_blocks(
-            depth, rgb_packed, keys, vis_valid,
-            sdf_to_f32(vol.sdf[vis_safe]),
-            vol.w_depth[vis_safe].astype(jnp.float32),
-            old_color_packed,
-            vol.w_color[vis_safe].astype(jnp.float32),
-            w2c, fx, fy, cx, cy, width, height,
+        # voxel state crosses HBM as TWO u32 planes (these packs fuse
+        # into the row gathers; the unpacks below fuse into the
+        # scatters) — the f32 form staged ~270 MB/frame of converts +
+        # output planes at bench scale (round-4 xplane trace)
+        old_packed = (
+            (vol.sdf[vis_safe].astype(jnp.int32) & 0xFFFF).astype(jnp.uint32)
+            | (vol.w_depth[vis_safe].astype(jnp.uint32) << 16)
+            | (vol.w_color[vis_safe].astype(jnp.uint32) << 24)
+        )
+        new_packed, new_cp, summary = ipk.integrate_blocks_packed(
+            depth, rgb_packed, keys, vis_valid, old_packed,
+            vol.color[vis_safe], w2c, fx, fy, cx, cy, width, height,
             p.voxel_size, p.mu, p.max_w,
         )
-        return _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
-                            frame_idx, n_vis)
+        return _finish_fuse_packed(vol, vis, vis_valid, new_packed, new_cp,
+                                   summary, frame_idx, n_vis)
 
     pos_w = _block_voxel_positions(keys, p.voxel_size)       # [V, 512, 3]
     pc = mm(pos_w, w2c_R.T) + w2c_t                          # camera space
@@ -550,6 +554,42 @@ def fuse_frames_scan(
                                 None, 1, None, pool_prefix, vis_cap), None
 
     vol, _ = jax.lax.scan(body, vol, (depths, rgbs, c2ws))
+    return vol
+
+
+def _finish_fuse_packed(vol, vis, vis_valid, new_packed, new_cp, summary,
+                        frame_idx=None, n_vis=None):
+    """Scatter-back for the packed integrate kernel: unpacks fuse into
+    the scatters, and the per-block raycaster summaries come from the
+    kernel's summary rows instead of a full [V, 512] f32 recompute."""
+    p = vol.params
+    if n_vis is not None:
+        vol = vol.replace(n_visible=n_vis)
+    su = (new_packed & 0xFFFF).astype(jnp.int32)
+    sdf_i = jnp.where(su >= 32768, su - 65536, su).astype(jnp.int16)
+    new_w = ((new_packed >> 16) & 0xFF).astype(jnp.uint8)
+    new_wc = (new_packed >> 24).astype(jnp.uint8)
+
+    scatter_idx = jnp.where(vis_valid, vis, p.block_capacity)
+    vol = vol.replace(
+        sdf=vol.sdf.at[scatter_idx].set(sdf_i, mode="drop"),
+        w_depth=vol.w_depth.at[scatter_idx].set(new_w, mode="drop"),
+        color=vol.color.at[scatter_idx].set(new_cp, mode="drop"),
+        w_color=vol.w_color.at[scatter_idx].set(new_wc, mode="drop"),
+        mip=vol.mip.at[scatter_idx].set(summary[:, :64], mode="drop"),
+        block_min_sdf=vol.block_min_sdf.at[scatter_idx].set(
+            summary[:, 64], mode="drop"),
+        block_max_w=vol.block_max_w.at[scatter_idx].set(
+            summary[:, 65].astype(jnp.int32), mode="drop"),
+    )
+    if frame_idx is not None:
+        vol = vol.replace(
+            last_seen=vol.last_seen.at[scatter_idx].set(
+                jnp.broadcast_to(frame_idx, scatter_idx.shape).astype(
+                    jnp.int32),
+                mode="drop",
+            )
+        )
     return vol
 
 

@@ -222,6 +222,296 @@ def _kernel_resident(meta_ref, pose_ref, dall_ref, call_ref, sdf_ref,
                           mu=mu, max_w=max_w, width=width, height=height)
 
 
+def _mip_pool_matrix():
+    """Constant [512, 64] mean-pool matrix: mip[j] = mean of the 2x2x2
+    voxel group (j = mx + 4*my + 16*mz, voxel lin = x + 8y + 64z).  Lets
+    the kernel compute the raycaster's sdf mip as ONE tiny MXU matmul
+    instead of a lane-dim shuffle (Mosaic has no cheap cross-lane pool)."""
+    import numpy as np
+
+    lin = np.arange(BLOCK_VOL)
+    j = ((lin % 8) >> 1) + 4 * (((lin // 8) % 8) >> 1) + 16 * ((lin // 64) >> 1)
+    m = np.zeros((BLOCK_VOL, 64), np.float32)
+    m[lin, j] = 0.125
+    return m
+
+
+def _kernel_resident_packed(meta_ref, pose_ref, planes_ref, pool_ref,
+                            old_ref, oldc_ref, out_ref, outc_ref, outs_ref,
+                            *, C, tw, voxel_size, mu, max_w, width, height):
+    """v2 resident kernel — packed I/O + one stacked MXU dot per tile.
+
+    vs `_kernel_resident`: (a) voxel state crosses HBM as TWO u32 planes
+    (sdf_u16 | w<<16 | wc<<24, and packed rgb888) instead of four f32
+    planes — 4x less kernel I/O and no XLA-side convert staging; (b) the
+    per-tile window select is ONE bf16 [40,128]x[128,512] MXU dot over
+    stacked channel planes (depth split hi/lo bf16: d = hi + lo keeps
+    ~16 mantissa bits, ~0.02 mm at 5 m — the old kernel burned a
+    6-pass f32-HIGHEST dot per tile on this) instead of 4 thin [8,128]
+    dots; (c) the raycaster's per-block summaries (sdf mip / min sdf /
+    max weight) are computed in-kernel (mip = one [1,512]x[512,64]
+    matmul against `pool_ref`), so the caller's scatter consumes kernel
+    outputs directly with no [V,8,512] f32 staging pass.
+
+    planes_ref: bf16 [R, 5, 8, 128] resident tile planes, channel order
+    (d_hi, d_lo, r, g, b; colors raw 0..255 — exact in bf16).
+    outs_ref: f32 [C, 128] — lanes 0..63 mip, 64 min_sdf, 65 max_w."""
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK_VOL), 1)
+    vlx = (lin % BLOCK).astype(jnp.float32)
+    vly = ((lin // BLOCK) % BLOCK).astype(jnp.float32)
+    vlz = (lin // (BLOCK * BLOCK)).astype(jnp.float32)
+    i128 = jax.lax.broadcasted_iota(jnp.int32, (128, BLOCK_VOL), 0)
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (8, BLOCK_VOL), 0)
+    i128r = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    R00, R01, R02 = pose_ref[0, 0], pose_ref[0, 1], pose_ref[0, 2]
+    R10, R11, R12 = pose_ref[0, 3], pose_ref[0, 4], pose_ref[0, 5]
+    R20, R21, R22 = pose_ref[0, 6], pose_ref[0, 7], pose_ref[0, 8]
+    t0, t1, t2 = pose_ref[0, 9], pose_ref[0, 10], pose_ref[0, 11]
+    fx, fy, cx, cy = (pose_ref[0, 12], pose_ref[0, 13],
+                      pose_ref[0, 14], pose_ref[0, 15])
+
+    for c in range(C):
+        valid = meta_ref[c, 5] > 0
+
+        @pl.when(valid)
+        def _():
+            bxw, byw, bzw = meta_ref[c, 0], meta_ref[c, 1], meta_ref[c, 2]
+            ax = meta_ref[c, 3].astype(jnp.int32)
+            ay = meta_ref[c, 4].astype(jnp.int32)
+            px = (bxw + vlx) * voxel_size
+            py = (byw + vly) * voxel_size
+            pz = (bzw + vlz) * voxel_size
+            zc = R20 * px + R21 * py + R22 * pz + t2        # [1, 512]
+            xc = R00 * px + R01 * py + R02 * pz + t0
+            yc = R10 * px + R11 * py + R12 * pz + t1
+            zs = jnp.where(jnp.abs(zc) < 1e-9, 1e-9, zc)
+            u = fx * xc / zs + cx
+            v = fy * yc / zs + cy
+            in_img = ((zc > 0) & (u >= 1) & (u <= width - 2)
+                      & (v >= 1) & (v <= height - 2))
+            iu = jnp.round(u).astype(jnp.int32) - ax * PT
+            iv = jnp.round(v).astype(jnp.int32) - ay * PT
+            in_win = (iu >= 0) & (iu < WIN) & (iv >= 0) & (iv < WIN)
+
+            r0 = ay * tw + ax
+            top = planes_ref[pl.ds(r0, 2)]          # [2, 5, 8, 128]
+            bot = planes_ref[pl.ds(r0 + tw, 2)]
+            d_meas = jnp.zeros((1, BLOCK_VOL), jnp.float32)
+            cacc = [jnp.zeros((1, BLOCK_VOL), jnp.float32) for _ in range(3)]
+            for pair, k, dx, dy in ((top, 0, 0, 0), (top, 1, PT, 0),
+                                    (bot, 0, 0, PT), (bot, 1, PT, PT)):
+                ju = iu - dx
+                jv = iv - dy
+                inm = ((ju >= 0) & (ju < PT) & (jv >= 0) & (jv < PT))
+                juc = jnp.clip(ju, 0, PT - 1)
+                jvc = jnp.clip(jv, 0, PT - 1)
+                lane = (jvc & 3) * PT + juc          # [1, 512] in [0,128)
+                sub = jvc >> 2                       # [1, 512] in [0,8)
+                uh = ((i128 == lane) & inm).astype(jnp.bfloat16)
+                vh = (i8 == sub).astype(jnp.float32)
+                A = pair[k].reshape(5 * 8, 128)      # [40, 128] bf16
+                sel = jax.lax.dot_general(
+                    A, uh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [40, 512]
+                d_meas = d_meas + jnp.sum(
+                    vh * (sel[0:8] + sel[8:16]), 0, keepdims=True)
+                for ch in range(3):
+                    cacc[ch] = cacc[ch] + jnp.sum(
+                        vh * sel[16 + 8 * ch:24 + 8 * ch], 0, keepdims=True)
+
+            # --- computeUpdatedVoxelDepthInfo / ColorInfo ---
+            po = old_ref[c][None, :]                 # [1, 512] u32
+            su = (po & 0xFFFF).astype(jnp.int32)
+            old_f = jnp.where(su >= 32768, su - 65536, su).astype(
+                jnp.float32) * (1.0 / 32767.0)
+            old_w = ((po >> 16) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+            old_wc = ((po >> 24) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+            eta = d_meas - zc
+            update = (in_img & in_win & (d_meas > 0) & (eta >= -mu))
+            new_obs = jnp.minimum(1.0, eta / mu)
+            den = old_w + 1.0
+            new_f = jnp.where(update, (old_w * old_f + new_obs) / den, old_f)
+            new_w = jnp.where(update, jnp.minimum(den, float(max_w)), old_w)
+
+            color_update = update & (eta <= mu) & (jnp.abs(eta / mu) < 0.25)
+            co = oldc_ref[c][None, :]
+            wc_den = old_wc + 1.0
+            new_cp = jnp.zeros((1, BLOCK_VOL), jnp.uint32)
+            for ch in range(3):
+                oc = ((co >> (8 * ch)) & 0xFF).astype(jnp.int32).astype(
+                    jnp.float32)
+                nc = jnp.where(color_update,
+                               (oc * old_wc + cacc[ch]) / wc_den, oc)
+                q = jnp.clip(nc + 0.5, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint32)
+                new_cp = new_cp | (q << (8 * ch))
+            new_wc = jnp.where(color_update,
+                               jnp.minimum(wc_den, float(max_w)), old_wc)
+
+            sdf_q = jnp.round(
+                jnp.clip(new_f, -1.0, 1.0) * 32767.0).astype(jnp.int32)
+            out_ref[c] = ((sdf_q & 0xFFFF).astype(jnp.uint32)
+                          | (new_w.astype(jnp.int32).astype(jnp.uint32) << 16)
+                          | (new_wc.astype(jnp.int32).astype(jnp.uint32) << 24))[0]
+            outc_ref[c] = new_cp[0]
+
+            mip = jax.lax.dot_general(
+                new_f.astype(jnp.bfloat16), pool_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [1, 64]
+            minv = jnp.min(jnp.where(new_w > 0, new_f, 1.0))
+            maxv = jnp.max(new_w)
+            row = jnp.concatenate(
+                [mip, jnp.zeros((1, 64), jnp.float32)], 1)
+            row = jnp.where(i128r == 64, minv, row)
+            row = jnp.where(i128r == 65, maxv, row)
+            outs_ref[c] = row[0]
+
+
+def _block_window_meta(keys, vis_valid, w2c, fx, fy, cx, cy, tw, th,
+                       voxel_size):
+    """Per-block meta row [V, 8]: world min corner (voxel units), window
+    anchor tile, valid flag (shared by both pallas callers)."""
+    V = keys.shape[0]
+    bx, by, bz = vhash.unpack(keys)
+    bxf = bx.astype(jnp.float32) * BLOCK
+    byf = by.astype(jnp.float32) * BLOCK
+    bzf = bz.astype(jnp.float32) * BLOCK
+    R, t = w2c[:3, :3], w2c[:3, 3]
+    umin = jnp.full((V,), jnp.inf)
+    vmin = jnp.full((V,), jnp.inf)
+    ext = voxel_size * BLOCK
+    for ox in (0.0, ext):
+        for oy in (0.0, ext):
+            for oz in (0.0, ext):
+                px = bxf * voxel_size + ox
+                py = byf * voxel_size + oy
+                pz = bzf * voxel_size + oz
+                zc = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
+                zs = jnp.maximum(zc, 1e-6)
+                uu = fx * (R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]) / zs + cx
+                vv = fy * (R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]) / zs + cy
+                umin = jnp.minimum(umin, uu)
+                vmin = jnp.minimum(vmin, vv)
+    ax = jnp.clip(jnp.floor(umin / PT), 0, tw - 2).astype(jnp.float32)
+    ay = jnp.clip(jnp.floor(vmin / PT), 0, th - 2).astype(jnp.float32)
+    return jnp.stack(
+        [bxf, byf, bzf, ax, ay, vis_valid.astype(jnp.float32),
+         jnp.zeros((V,)), jnp.zeros((V,))], axis=1)
+
+
+def integrate_blocks_packed(
+    depth: jax.Array,        # [H, W] f32
+    rgb_packed: jax.Array,   # [H, W] u32
+    keys: jax.Array,         # [V] packed block coords
+    vis_valid: jax.Array,    # [V] bool
+    old_packed: jax.Array,   # [V, 512] u32: sdf_u16 | w<<16 | wc<<24
+    old_color: jax.Array,    # [V, 512] u32 packed rgb888
+    w2c: jax.Array,
+    fx, fy, cx, cy,
+    width: int, height: int,
+    voxel_size: float, mu: float, max_w: int,
+    blocks_per_step: int = 16,
+    interpret: bool = False,
+):
+    """Packed-I/O integration (see `_kernel_resident_packed`).  Returns
+    (new_packed u32 [V,512], new_color u32 [V,512], summary f32 [V,128]:
+    lanes 0..63 sdf mip, 64 min integrated sdf, 65 max weight).  Rows with
+    vis_valid=False return stale values — callers drop them at scatter.
+
+    Falls back to the f32 pre-gather kernel (plus an XLA repack/summary
+    pass) when the resident tile planes exceed the VMEM budget."""
+    V = keys.shape[0]
+    tw = -(-width // PT)
+    th = -(-height // PT)
+    if (th * tw) * PT * PT * 10 > _RESIDENT_BYTES:
+        su = (old_packed & 0xFFFF).astype(jnp.int32)
+        old_sdf = jnp.where(su >= 32768, su - 65536, su).astype(
+            jnp.float32) * (1.0 / 32767.0)
+        old_w = ((old_packed >> 16) & 0xFF).astype(jnp.float32)
+        old_wc = ((old_packed >> 24) & 0xFF).astype(jnp.float32)
+        new_f, new_w, new_c, new_wc = integrate_blocks(
+            depth, rgb_packed, keys, vis_valid, old_sdf, old_w, old_color,
+            old_wc, w2c, fx, fy, cx, cy, width, height, voxel_size, mu,
+            max_w, interpret=interpret)
+        sdf_q = jnp.round(jnp.clip(new_f, -1.0, 1.0) * 32767.0).astype(
+            jnp.int32)
+        new_packed = ((sdf_q & 0xFFFF).astype(jnp.uint32)
+                      | (new_w.astype(jnp.uint32) << 16)
+                      | (new_wc.astype(jnp.uint32) << 24))
+        q = jnp.clip(new_c * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
+        new_cp = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+        f_cube = new_f.reshape(-1, 4, 2, 4, 2, 4, 2)
+        mip = f_cube.mean(axis=(2, 4, 6)).reshape(-1, 64)
+        minv = jnp.min(jnp.where(new_w > 0, new_f, 1.0), axis=1)
+        maxv = jnp.max(new_w, axis=1)
+        summary = jnp.concatenate(
+            [mip, minv[:, None], maxv[:, None],
+             jnp.zeros((V, 62), jnp.float32)], axis=1)
+        return new_packed, new_cp, summary
+
+    dpad = jnp.pad(depth, ((0, th * PT - height), (0, tw * PT - width)))
+    cpad = jnp.pad(rgb_packed,
+                   ((0, th * PT - height), (0, tw * PT - width)))
+    d_hi = dpad.astype(jnp.bfloat16)
+    planes = jnp.stack([
+        d_hi,
+        (dpad - d_hi.astype(jnp.float32)).astype(jnp.bfloat16),
+        (cpad & 0xFF).astype(jnp.int32).astype(jnp.bfloat16),
+        ((cpad >> 8) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16),
+        ((cpad >> 16) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16),
+    ])                                                   # [5, Hp, Wp]
+    R_t = th * tw
+    planes = planes.reshape(5, th, PT, tw, PT).transpose(
+        1, 3, 0, 2, 4).reshape(R_t, 5, 8, 128)
+
+    meta = _block_window_meta(keys, vis_valid, w2c, fx, fy, cx, cy,
+                              tw, th, voxel_size)
+    R, t = w2c[:3, :3], w2c[:3, 3]
+    pose = jnp.concatenate([
+        R.reshape(-1), t, jnp.asarray([fx, fy, cx, cy]).reshape(-1)
+    ]).reshape(1, 16).astype(jnp.float32)
+    pool = jnp.asarray(_mip_pool_matrix(), jnp.bfloat16)
+
+    C = blocks_per_step
+    n_steps = -(-V // C)
+    V_pad = n_steps * C
+
+    def padv(x, fill=0):
+        if V_pad == V:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((V_pad - V, *x.shape[1:]), fill, x.dtype)], 0)
+
+    spec = lambda shape: pl.BlockSpec(
+        (C, *shape), lambda i: (i, *([0] * len(shape))),
+        memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _kernel_resident_packed, C=C, tw=tw, voxel_size=voxel_size, mu=mu,
+        max_w=max_w, width=width, height=height)
+    out, outc, outs = pl.pallas_call(
+        kern,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((C, 8), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R_t, 5, 8, 128), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_VOL, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            spec((BLOCK_VOL,)), spec((BLOCK_VOL,)),
+        ],
+        out_specs=[spec((BLOCK_VOL,)), spec((BLOCK_VOL,)), spec((128,))],
+        out_shape=[
+            jax.ShapeDtypeStruct((V_pad, BLOCK_VOL), jnp.uint32),
+            jax.ShapeDtypeStruct((V_pad, BLOCK_VOL), jnp.uint32),
+            jax.ShapeDtypeStruct((V_pad, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(padv(meta), pose, planes, pool, padv(old_packed), padv(old_color))
+    return out[:V], outc[:V], outs[:V]
+
+
 def integrate_blocks(
     depth: jax.Array,        # [H, W] f32
     rgb_packed: jax.Array,   # [H, W] u32
