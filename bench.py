@@ -163,23 +163,74 @@ def main() -> None:
           f"{n_sync} frames)")
     pipe3.slam_train_cams(model3, cams[:n_sync])
 
-    # quality audit: mean PSNR/SSIM of the trained model's GES render over
-    # 10 spread frames — makes every speedup auditable as quality-neutral
-    # from the bench line alone; gs_num tracks the compactness headline
-    # (the reference claims ~50% fewer Gaussians, README.md:8)
     import numpy as np
 
     from gps_slam_tpu.eval import metrics as M
 
-    psnrs, ssims = [], []
-    for c in cams[:: max(1, n_frames // 10)][:10]:
-        ray = engine2.run_raycast(c.c2w, c.K, width, height)
-        res = model2.forward(
-            c.c2w, c.K, ray["depth_map"][..., 0], ray["color_map"]
-        )
-        img = np.clip(np.asarray(res["rgb"]), 0, 1)
-        psnrs.append(M.psnr(img, c.image))
-        ssims.append(M.ssim(img, c.image))
+    def eval_quality(engine_q, model_q):
+        """Mean PSNR/SSIM of the trained model's GES render over the FIXED
+        eval set (every n_frames//10-th frame, 10 frames)."""
+        psnrs, ssims = [], []
+        for c in cams[:: max(1, n_frames // 10)][:10]:
+            ray = engine_q.run_raycast(c.c2w, c.K, width, height)
+            res = model_q.forward(
+                c.c2w, c.K, ray["depth_map"][..., 0], ray["color_map"]
+            )
+            img = np.clip(np.asarray(res["rgb"]), 0, 1)
+            psnrs.append(M.psnr(img, c.image))
+            ssims.append(M.ssim(img, c.image))
+        return float(np.mean(psnrs)), float(np.mean(ssims))
+
+    def det_quality_run(cfg_q):
+        """Deterministic (pinned) quality run: fixed RNG seeds already come
+        from the config (dev_id), and sync_counts removes the one
+        timing-dependent input — the async live-count caches whose
+        staleness varies run-to-run and moved the cap buckets (and with
+        them PSNR by several dB across same-code runs, VERDICT r4 #5).
+        Off-clock; the headline psnr/ssim come from here so the quality
+        ratchet is reproducible."""
+        e = TsdfEngine(cfg_q, width, height, cam0.K)
+        e.set_gt_poses([c.c2w for c in cams])
+        if tracked:
+            from gps_slam_tpu.slam.tracker import make_tracker
+
+            e.attach_tracker(make_tracker(cfg_q, width, height))
+        else:
+            e.turn_off_tracking()
+        e.sync_counts = True
+        m = GaussianModel(cfg_q, width, height)
+        m.sync_counts = True
+        pq = SLAMPipeline(cfg_q, e, cfg_q.workspace_dir, is_train=False)
+        pq.frame_cache = pipe2.frame_cache
+        pq.slam_train_cams(m, cams)
+        p_, s_ = eval_quality(e, m)
+        return p_, s_, m.num_gaussians
+
+    psnr_det, ssim_det, gs_det = det_quality_run(cfg)
+
+    # binning/spawn cap audit (VERDICT r4 #5): re-run the deterministic
+    # pipeline with every quality-relevant cap DOUBLED and assert the
+    # shipped caps are quality-neutral.  ΔPSNR > 0.1 dB prints a loud
+    # warning (the r4 history shows cap clipping once cost 0.66 dB).
+    if os.environ.get("BENCH_CAP_AUDIT", "1") == "1":
+        import copy
+
+        cd2 = copy.deepcopy(cfg_dict)
+        cd2["TPU"]["tile_gaussian_cap"] = 2 * cfg.tpu.tile_gaussian_cap
+        cd2["TPU"]["tiles_per_gaussian_cap"] = (
+            2 * cfg.tpu.tiles_per_gaussian_cap)
+        cd2["TPU"]["active_tile_cap"] = 2 * cfg.tpu.active_tile_cap
+        cd2["TPU"]["max_new_gaussians"] = 2 * cfg.tpu.max_new_gaussians
+        cfg2x = Config.from_dict(cd2)
+        psnr_2x, ssim_2x, gs_2x = det_quality_run(cfg2x)
+        d = psnr_2x - psnr_det
+        tag = ("OK" if abs(d) < 0.1 else "WARNING: caps are biting quality")
+        print(f"[CAP AUDIT] psnr 1x={psnr_det:.2f} 2x={psnr_2x:.2f} "
+              f"delta={d:+.2f} dB ssim 1x={ssim_det:.4f} 2x={ssim_2x:.4f} "
+              f"gs 1x={gs_det} 2x={gs_2x} -> {tag}")
+
+    # async-run quality (the timed pipeline's model) kept for continuity
+    psnr_async, ssim_async = eval_quality(engine2, model2)
 
     out = {
         "metric": (f"slam_tracked_fps_{width}x{height}" if tracked
@@ -187,9 +238,12 @@ def main() -> None:
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 150.0, 4),
-        "psnr": round(float(np.mean(psnrs)), 2),
-        "ssim": round(float(np.mean(ssims)), 4),
-        "gs_num": model2.num_gaussians,
+        "psnr": round(psnr_det, 2),
+        "ssim": round(ssim_det, 4),
+        "gs_num": gs_det,
+        "psnr_async": round(psnr_async, 2),
+        "ssim_async": round(ssim_async, 4),
+        "gs_num_async": model2.num_gaussians,
     }
     if tracked:
         # trajectory quality of the ICP-tracked run vs the synthetic orbit's

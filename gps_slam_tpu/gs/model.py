@@ -525,6 +525,10 @@ class GaussianModel:
 
     @property
     def num_gaussians_cached(self) -> int:
+        if getattr(self, "sync_counts", False):
+            # deterministic mode (bench quality audits): a live count so
+            # cap buckets never depend on when an async future landed
+            return self.num_gaussians
         fut = getattr(self, "_count_future", None)
         if fut is not None:
             self._count_cache = int(fut)

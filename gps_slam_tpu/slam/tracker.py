@@ -241,6 +241,59 @@ class TrackerQuality:
     GOOD, POOR, FAILED = 2, 1, 0
 
 
+# hard failure thresholds of the quality policy (ICPTracker.track): kept
+# module-level so the device-side megastep (tsdf.engine) applies the SAME
+# pose-revert rule in-graph that the host path applies after its fetch
+FAIL_MIN_INLIER = 0.08
+FAIL_MAX_RESIDUAL = 0.05
+GOOD_MIN_INLIER = 0.2
+GOOD_MAX_RESIDUAL = 0.015
+
+
+def track_pyramid(
+    T0: jax.Array,            # [4,4] previous c2w (device)
+    depth: jax.Array,         # [H, W] this frame's depth (device)
+    ref_vertex: jax.Array,    # [H, W, 3] previous raycast world vertices
+    ref_normal: jax.Array,    # [H, W, 3] previous raycast world normals
+    cam0: jax.Array,          # [4] fx, fy, cx, cy (full resolution)
+    level_iters: tuple,       # static per-level budgets, finest-first
+    space_thresh: tuple = SPACE_THRESH,
+    tukey_c: tuple = TUKEY_C,
+    n_levels: int = 4,
+):
+    """DEVICE-PURE rrbb ICP pyramid — the whole 4-level chain with no host
+    fetch, so callers can fuse tracking into a larger per-frame program
+    (the tracked-mode megastep, tsdf.engine.process_frame).  Identical
+    math to ICPTracker.track (ITMExtendedTracker::TrackCamera,
+    ITMExtendedTracker.cpp:470-665); returns device (T, inlier, mean_r).
+    """
+    from ..utils.se3 import pose_inv
+
+    pyramid = [depth]
+    for _ in range(n_levels - 1):
+        pyramid.append(_subsample_depth(pyramid[-1]))
+    fx0, fy0, cx0, cy0 = cam0[0], cam0[1], cam0[2], cam0[3]
+    ref_pose_inv = pose_inv(T0)
+    T = T0
+    inl = jnp.zeros(())
+    mr = jnp.zeros(())
+    for lvl in range(n_levels - 1, -1, -1):
+        s = 2 ** lvl
+        cam = jnp.stack(
+            [fx0 / s, fy0 / s, (cx0 + 0.5) / s - 0.5, (cy0 + 0.5) / s - 0.5,
+             fx0, fy0, cx0, cy0])
+        li = min(lvl, len(level_iters) - 1)
+        T, inl, mr, _ = _track_level(
+            T, pyramid[lvl], ref_vertex, ref_normal, cam,
+            level_iters[li],
+            lvl >= ROTATION_ONLY_FROM_LEVEL,
+            ref_pose_inv=ref_pose_inv,
+            space_thresh=jnp.asarray(space_thresh[li]),
+            tukey_c=jnp.asarray(tukey_c[li]),
+        )
+    return T, inl, mr
+
+
 # --------------------------------------------------------------- color
 
 @partial(jax.jit, static_argnums=(7, 8))
@@ -490,6 +543,9 @@ def make_tracker(cfg: Config, width: int, height: int):
 
 class ICPTracker:
     needs_color = False  # depth-only rrbb ICP: vertex/normal maps suffice
+    # the whole pyramid is jit-traceable (track_pyramid): eligible for the
+    # engine's one-dispatch tracked megastep (tsdf.engine._track_fuse_step)
+    device_pure = True
 
     def __init__(self, cfg: Config, width: int, height: int, n_levels: int = 4):
         self.cfg = cfg

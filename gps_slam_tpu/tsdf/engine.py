@@ -32,6 +32,34 @@ class TrackingResult:
     FAILED = 0
 
 
+def _track_fuse_step_impl(vol, T_prev, depth, rgb, ref_vertex, ref_normal,
+                          K, level_iters, use_pallas, pool_prefix, vis_cap):
+    """Device-pure track + fuse for ONE frame — the tracked-mode megastep
+    body.  The ICP pyramid (slam.tracker.track_pyramid), the in-graph
+    pose-revert on hard tracking failure (the host policy's FAILED branch,
+    ITMBasicEngine.tpp:365-366), and the frame's TSDF fusion run as one
+    program; nothing touches the host.  Callers fetch (pose, inlier,
+    residual) AFTER dispatching the next raycast so the fetch RTT overlaps
+    the march (PERF.md: the per-frame host fetch was why tracked mode ran
+    at 0.4 fps over the ~30 ms-RTT tunnel)."""
+    from ..slam import tracker as trk
+
+    cam0 = jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
+    T, inl, mr = trk.track_pyramid(
+        T_prev, depth, ref_vertex, ref_normal, cam0, level_iters)
+    bad = ((~jnp.all(jnp.isfinite(T)))
+           | (inl < trk.FAIL_MIN_INLIER) | (mr > trk.FAIL_MAX_RESIDUAL))
+    pose = jnp.where(bad, T_prev, T)
+    vol = integrate._fuse_frame_impl(
+        vol, depth, rgb, pose, K, False, use_pallas, None, 1, None,
+        pool_prefix, vis_cap)
+    return vol, pose, inl, mr
+
+
+_track_fuse_step = jax.jit(
+    _track_fuse_step_impl, static_argnums=(7, 8, 9, 10), donate_argnums=(0,))
+
+
 class TsdfEngine:
     def __init__(self, cfg: Config, width: int, height: int, K: np.ndarray):
         t = cfg.pipe.tsdf
@@ -96,6 +124,7 @@ class TsdfEngine:
         self.cam_intrinsics: list[np.ndarray] = []
         self.current_frame = 0
         self._last_pose: np.ndarray = np.eye(4, dtype=np.float32)
+        self._last_pose_dev = None  # device pose chain (tracked megastep)
         self._tracker = None  # set by attach_tracker (slam.tracker)
         self._last_raycast_for_tracking = None
         # tracking-failure policy (ITMLibSettings behaviourOnFailure,
@@ -164,10 +193,15 @@ class TsdfEngine:
         fut = getattr(self, "_nb_future", None)
         if fut is None:
             return
-        try:
-            ready = fut.is_ready()
-        except Exception:
+        if getattr(self, "sync_counts", False):
+            # deterministic mode (bench quality audits): block until the
+            # count lands so cap buckets never depend on host timing
             ready = True
+        else:
+            try:
+                ready = fut.is_ready()
+            except Exception:
+                ready = True
         if not ready:
             return
         try:
@@ -236,6 +270,64 @@ class TsdfEngine:
             b <<= 1
         return min(b, cap)
 
+    def _can_fast_track(self) -> bool:
+        """The tracked-mode megastep applies when the per-frame host hooks
+        are all no-ops: depth-only device-pure tracker, the default
+        'ignore' failure policy (whose only host action — pose revert on
+        FAILED — the megastep performs in-graph), no swapping / sharding.
+        Everything else keeps the reference-shaped per-phase path."""
+        return (
+            self.tracking_active
+            and getattr(self._tracker, "device_pure", False)
+            and self.failure_policy == "ignore"
+            and self.swap is None
+            and self.space_shards == 1
+        )
+
+    def _process_frame_fast_tracked(self, rgb, depth) -> np.ndarray:
+        """One-dispatch tracked frame: track + pose-revert + fuse as ONE
+        device program, then the next frame's tracking-prepare raycast is
+        dispatched BEFORE the (pose, inlier, residual) fetch so the fetch
+        RTT rides under the march instead of serializing the loop."""
+        i = self.current_frame
+        d = jnp.asarray(depth)
+        if d.ndim == 3:
+            d = d[..., 0]
+        if self.use_bilateral_filter:
+            from ..utils.se3 import bilateral_filter_depth
+
+            d = bilateral_filter_depth(d)
+        c = jnp.asarray(rgb)
+        rc_prev = self._last_raycast_for_tracking
+        tr = self._tracker
+        self.vol, pose_dev, inl, mr = _track_fuse_step(
+            self.vol, self._last_pose_dev, d, c,
+            rc_prev["vertex_map"], rc_prev["normal_map"], self._K_dev,
+            tuple(tr.level_iters), self._use_pallas_raycast(),
+            self._pool_prefix(), self._vis_cap(),
+        )
+        self._refresh_counts_async()
+        self._last_pose_dev = pose_dev
+        need_rgb = bool(getattr(tr, "needs_color", False))
+        self._last_raycast_for_tracking = self.run_raycast(
+            pose_dev, quality=False, need_color=need_rgb)
+        from ..slam.tracker import TrackerQuality
+
+        T, inlier, mean_r = jax.device_get((pose_dev, inl, mr))
+        inlier, mean_r = float(inlier), float(mean_r)
+        tr.last_inlier, tr.last_residual = inlier, mean_r
+        if (not np.all(np.isfinite(T)) or inlier < 0.08 or mean_r > 0.05):
+            self._tracking_quality = TrackerQuality.FAILED
+        elif inlier > 0.2 and mean_r < 0.015:
+            self._tracking_quality = TrackerQuality.GOOD
+        else:
+            self._tracking_quality = TrackerQuality.POOR
+        self._last_pose = np.asarray(T, dtype=np.float32)
+        self.cam_poses.append(self._last_pose.copy())
+        self.cam_intrinsics.append(self.K.copy())
+        self.current_frame = i + 1
+        return self._last_pose
+
     def process_frame(self, rgb, depth) -> np.ndarray:
         """Track (or inject gt pose) + fuse one RGB-D frame; returns the
         estimated c2w pose (ITMBasicEngine::ProcessFrame).  `rgb`/`depth`
@@ -243,6 +335,11 @@ class TsdfEngine:
         device-cached frames, data/device_cache.py — the host link here
         is slow)."""
         i = self.current_frame
+        if (i > 0 and self._tracker is not None
+                and self._last_raycast_for_tracking is not None
+                and getattr(self, "_last_pose_dev", None) is not None
+                and self._can_fast_track()):
+            return self._process_frame_fast_tracked(rgb, depth)
         skip_fusion = False
         if self.use_bilateral_filter:
             from ..utils.se3 import bilateral_filter_depth
@@ -317,6 +414,7 @@ class TsdfEngine:
                 self.vol = self.swap.maybe_reload(self.vol)
                 self.vol = self.swap.maybe_spill(self.vol)
         self._last_pose = np.asarray(pose, dtype=np.float32)
+        self._last_pose_dev = jnp.asarray(self._last_pose)
         self.cam_poses.append(self._last_pose.copy())
         self.cam_intrinsics.append(self.K.copy())
         self.current_frame += 1
@@ -403,6 +501,11 @@ class TsdfEngine:
         width = width or self.width
         height = height or self.height
         p = self.vol.params
+        # device poses pass straight through (the tracked megastep chains
+        # pose -> raycast on device); np.asarray on a device array would
+        # fetch 64 bytes at a full RTT and serialize the loop
+        c2w_dev = (c2w if isinstance(c2w, jax.Array)
+                   else jnp.asarray(np.asarray(c2w, np.float32)))
         if self.swap is not None:
             # per-view swap-in (ITMSwappingEngine IntegrateGlobalIntoLocal
             # analog): spilled blocks visible from this pose come back
@@ -417,7 +520,7 @@ class TsdfEngine:
             from ..parallel import spatial
 
             return spatial.raycast_sharded(
-                self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
+                self.vol, c2w_dev, K,
                 width, height, p.raycast_lb, p.raycast_samples,
                 max(p.raycast_bisect, 5), p.raycast_chunk,
             )
@@ -425,7 +528,7 @@ class TsdfEngine:
             from . import raycast_pallas as rc_pallas
 
             return rc_pallas.raycast(
-                self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
+                self.vol, c2w_dev, K,
                 width, height, p.raycast_lb, p.raycast_samples,
                 max(p.raycast_bisect, 5), 2 if quality else 1,
                 p.raycast_tiles_per_step,
@@ -433,7 +536,7 @@ class TsdfEngine:
                 need_color=need_color,
             )
         return rc_tiles.raycast(
-            self.vol, jnp.asarray(np.asarray(c2w, np.float32)), K,
+            self.vol, c2w_dev, K,
             width, height, p.raycast_lb, p.raycast_samples,
             max(p.raycast_bisect, 5), p.raycast_chunk,
             pool_prefix=self._pool_prefix(),
