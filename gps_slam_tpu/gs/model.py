@@ -317,6 +317,33 @@ def window_optimize(
     bins = jax.vmap(
         make_bins)({"c2w": cam_batch["c2w"], "K": cam_batch["K"]})
 
+    # tile-space L1 loss path (release-config loss: ssim_weight = 0,
+    # depth_weight = 0, no exposure — configs/release/*/*.yaml): inactive
+    # tiles render the exact base layer every iteration, so their L1 sum
+    # is a per-window constant and each Adam step evaluates only the
+    # active tiles (see rasterize.hoist_window_tiles).  SSIM needs the
+    # assembled image (its 11x11 window crosses tile borders) and
+    # exposure differentiates through INACTIVE pixels too — both keep the
+    # image-space path.
+    fast_tile = (ssim_weight == 0.0 and depth_weight == 0.0
+                 and not st.use_exposure)
+    N_rows = calive.shape[0]
+    if fast_tile:
+        def make_hoist(cam, b):
+            ref_clamped = jnp.where(
+                cam["ref_depth"] < 0.01, 1000.0, cam["ref_depth"])
+            return rasterize.hoist_window_tiles(
+                b, ref_clamped, cam["gt_rgb"], cam["base_color"],
+                st.width, st.height, st.tile_size, 64, N_rows)
+
+        hoists = jax.vmap(make_hoist)(
+            {"ref_depth": cam_batch["ref_depth"],
+             "gt_rgb": cam_batch["gt_rgb"],
+             "base_color": cam_batch["base_color"]},
+            bins,
+        )
+        n_px = float(st.width * st.height * 3)
+
     # gt-image SSIM blur moments are constant across the window's
     # iterations — precompute per camera (the gt was 2 of the 5 stacked
     # stencil channels per color re-blurred every Adam step)
@@ -326,6 +353,25 @@ def window_optimize(
     def step(carry, cam_i):
         prms, ostate = carry
         b = jax.tree.map(lambda x: x[cam_i], bins)
+
+        def loss_fn_tile(p):
+            h = jax.tree.map(lambda x: x[cam_i], hoists)
+            proj, radii, colors = _project_and_colors(
+                p, calive, cam_batch["c2w"][cam_i], cam_batch["K"][cam_i],
+                st, active_sh_degree)
+            colors4 = jnp.concatenate(
+                [colors, proj.depths[:, None]], axis=1)
+            out = rasterize.ges_splat_tiles(
+                proj.means2d, proj.conics, colors4,
+                jax.nn.sigmoid(p["opacities"][:, 0]), proj.depths, h,
+                st.delta_depth,
+                impl=st.splat_impl,
+                tiles_per_gaussian_cap=st.tiles_per_gaussian_cap,
+            )                                            # [A_pad, 5, P]
+            rgb_t = (out[:, :3] + h["base_t"]) / (out[:, 4:5] + 1.0)
+            diff = jnp.abs(rgb_t - h["gt_t"]) * h["pxmask"][:, None, :]
+            lval = (jnp.sum(diff) + h["inactive_sum"]) / n_px
+            return lval, {"total": lval, "rgb": lval, "l1": lval}
 
         def loss_fn(p):
             res = ges_forward(
@@ -347,7 +393,8 @@ def window_optimize(
             )
             return loss["total"], loss
 
-        (lval, ldict), grads = jax.value_and_grad(loss_fn, has_aux=True)(prms)
+        (lval, ldict), grads = jax.value_and_grad(
+            loss_fn_tile if fast_tile else loss_fn, has_aux=True)(prms)
         updates, ostate = tx.update(grads, ostate, prms)
         prms = optax.apply_updates(prms, updates)
         return (prms, ostate), lval

@@ -613,6 +613,123 @@ def ges_rasterize_active(
     return img[..., :C], img[..., C]
 
 
+def _tile_view(img: jax.Array, tile_h: int, tile_w: int, tile_size: int,
+               height: int, width: int, pad_value: float = 0.0) -> jax.Array:
+    """[H, W, C] image -> [T, C, P] per-tile channel-major view."""
+    C = img.shape[-1]
+    pad = jnp.pad(
+        img,
+        ((0, tile_h * tile_size - height), (0, tile_w * tile_size - width),
+         (0, 0)),
+        constant_values=pad_value,
+    )
+    return (
+        pad.reshape(tile_h, tile_size, tile_w, tile_size, C)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(tile_h * tile_w, C, tile_size * tile_size)
+    )
+
+
+def hoist_window_tiles(
+    bins: ActiveBins,
+    ref_clamped: jax.Array,  # [H, W] depth-cut reference (1000 = empty)
+    gt_rgb: jax.Array,       # [H, W, 3]
+    base_color: jax.Array,   # [H, W, 3] SDF raycast color
+    width: int,
+    height: int,
+    tile_size: int,
+    chunk: int,
+    N: int,
+) -> dict:
+    """Per-window constants of the TILE-SPACE L1 loss path.
+
+    With bins fixed across a window's optimizer iterations, tiles outside
+    `bins.tiles` always render the exact SDF base layer ((raw + base) /
+    (w + 1) with raw = w = 0), so their L1 contribution is CONSTANT per
+    camera: precompute it once (`inactive_sum`), and each Adam step only
+    evaluates |rgb - gt| over the active tiles.  This removes the full-
+    image tile placement (+ its transpose pair) and the image-space blend
+    + L1 from every iteration (~1 ms/iter at bench scale, round-5 trace);
+    gradients are identical (inactive tiles contribute exact zeros).
+
+    Everything returned is loop-invariant: padded gids, per-tile ref/gt/
+    base rows, pixel coordinates, the crop mask for edge tiles, and the
+    inactive-tile L1 sum."""
+    tile_w = -(-width // tile_size)
+    tile_h = -(-height // tile_size)
+    T = tile_w * tile_h
+    A = bins.tiles.shape[0]
+    P = tile_size * tile_size
+    n_chunks = -(-A // chunk)
+    A_pad = n_chunks * chunk
+
+    def pad_a(x, fill=0):
+        return jnp.concatenate(
+            [x, jnp.full((A_pad - A, *x.shape[1:]), fill, x.dtype)], 0
+        ) if A_pad > A else x
+
+    tiles = pad_a(bins.tiles, fill=T)
+    gids = pad_a(bins.gids, fill=N)
+    on = (tiles < T)
+    tsafe = jnp.where(on, tiles, 0)
+
+    ref_tiles_full = _tile_view(
+        ref_clamped[..., None], tile_h, tile_w, tile_size, height, width,
+        pad_value=1e9)[:, 0]                                   # [T, P]
+    ref_tiles = jnp.where(on[:, None], ref_tiles_full[tsafe], 1e9)
+    gt_t_full = _tile_view(gt_rgb, tile_h, tile_w, tile_size, height, width)
+    base_t_full = _tile_view(
+        base_color, tile_h, tile_w, tile_size, height, width)
+    gt_t = jnp.where(on[:, None, None], gt_t_full[tsafe], 0.0)   # [A, 3, P]
+    base_t = jnp.where(on[:, None, None], base_t_full[tsafe], 0.0)
+
+    tx = (tsafe % tile_w).astype(jnp.float32) * tile_size
+    ty = (tsafe // tile_w).astype(jnp.float32) * tile_size
+    pp = jnp.arange(P, dtype=jnp.float32)
+    px = tx[:, None] + (pp % tile_size)[None, :] + 0.5
+    py = ty[:, None] + (pp // tile_size)[None, :] + 0.5
+    # crop mask: edge tiles overhang the image; the image-space path
+    # cropped those pixels before the loss, so mask them here (gaussians
+    # CAN put weight there — without the mask their pad-pixel error would
+    # leak gradients the reference never computes)
+    pxmask = (on[:, None] & (px < width) & (py < height)).astype(jnp.float32)
+
+    # inactive-tile constant: full-image |base - gt| minus the active
+    # tiles' (masked) share
+    full_sum = jnp.sum(jnp.abs(base_color - gt_rgb))
+    active_base_sum = jnp.sum(
+        jnp.abs(base_t - gt_t) * pxmask[:, None, :])
+    inactive_sum = full_sum - active_base_sum
+
+    return {
+        "gids": gids, "ref_tiles": ref_tiles, "px": px, "py": py,
+        "gt_t": gt_t, "base_t": base_t, "pxmask": pxmask,
+        "inactive_sum": inactive_sum,
+        "pair_order": bins.pair_order, "seg_lo": bins.seg_lo,
+        "seg_hi": bins.seg_hi,
+        "valid": pad_a(bins.valid, fill=False),
+    }
+
+
+def ges_splat_tiles(
+    means2d, conics, colors, opacities, gauss_depth, hoist: dict,
+    delta_depth: float, chunk: int = 64, impl: str = "xla",
+    tiles_per_gaussian_cap: int = 16,
+):
+    """Active-tile GES sums against hoisted per-window tensors — the
+    per-iteration core of the tile-space loss path.  Returns
+    [A_pad, C+1, P] (channel-major; last channel = weight sum)."""
+    return _ges_splat(
+        (float(delta_depth), int(chunk), str(impl),
+         int(tiles_per_gaussian_cap)),
+        means2d, conics, colors, opacities, gauss_depth,
+        hoist["gids"], jax.lax.stop_gradient(hoist["valid"]),
+        jax.lax.stop_gradient(hoist["ref_tiles"]),
+        jax.lax.stop_gradient(hoist["px"]), jax.lax.stop_gradient(hoist["py"]),
+        hoist["pair_order"], hoist["seg_lo"], hoist["seg_hi"],
+    )
+
+
 def ges_rasterize(
     means2d: jax.Array,     # [N, 2] (differentiable)
     conics: jax.Array,      # [N, 3]

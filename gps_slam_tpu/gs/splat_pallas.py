@@ -183,7 +183,10 @@ def splat_fwd(packed, gids, px, py, ref_tiles, delta_depth, C,
     g, pix = _prep(packed, gids, px, py, ref_tiles)
     A, L, cols = g.shape
     P = px.shape[1]
-    CT = 8
+    # 32 tiles per grid step: the round-5 trace showed the bwd kernel at
+    # ~6.6 us/step at CT=8 (256 steps for A=2048) — per-step grid overhead,
+    # not compute.  Fatter steps amortize it 4x; VMEM stays ~1 MB.
+    CT = 32 if A % 32 == 0 else 8
     assert A % CT == 0, (A, CT)
     grid = (A // CT,)
     return pl.pallas_call(
@@ -209,7 +212,7 @@ def splat_bwd(packed, gids, px, py, ref_tiles, v_out_t, delta_depth,
     g, pix = _prep(packed, gids, px, py, ref_tiles)
     A, L, cols = g.shape
     P = px.shape[1]
-    CT = 8
+    CT = 32 if A % 32 == 0 else 8   # see splat_fwd
     assert A % CT == 0, (A, CT)
     grid = (A // CT,)
     return pl.pallas_call(

@@ -522,7 +522,7 @@ class TsdfEngine:
             return spatial.raycast_sharded(
                 self.vol, c2w_dev, K,
                 width, height, p.raycast_lb, p.raycast_samples,
-                max(p.raycast_bisect, 5), p.raycast_chunk,
+                max(p.raycast_bisect, 3), p.raycast_chunk,
             )
         if self._use_pallas_raycast():
             from . import raycast_pallas as rc_pallas
@@ -530,7 +530,7 @@ class TsdfEngine:
             return rc_pallas.raycast(
                 self.vol, c2w_dev, K,
                 width, height, p.raycast_lb, p.raycast_samples,
-                max(p.raycast_bisect, 5), 2 if quality else 1,
+                max(p.raycast_bisect, 3), 2 if quality else 1,
                 p.raycast_tiles_per_step,
                 pool_prefix=self._pool_prefix(),
                 need_color=need_color,
@@ -538,17 +538,21 @@ class TsdfEngine:
         return rc_tiles.raycast(
             self.vol, c2w_dev, K,
             width, height, p.raycast_lb, p.raycast_samples,
-            max(p.raycast_bisect, 5), p.raycast_chunk,
+            max(p.raycast_bisect, 3), p.raycast_chunk,
             pool_prefix=self._pool_prefix(),
         )
 
     def run_raycast_batch(self, c2ws: np.ndarray, K: np.ndarray | None = None,
-                          quality: bool = False) -> dict:
+                          quality: bool = False,
+                          need_normals: bool = False) -> dict:
         """Raycast M poses in ONE device program (stacked [M, ...] map
         dict).  The opt window's local + keyframe raycasts
         (slam_pipeline.cpp:417-448/528-561) go through here; swapping and
         spatial sharding need per-pose host work and fall back to a
-        stacked per-pose loop."""
+        stacked per-pose loop.  Batch consumers (training targets, eval
+        renders) use color/depth/conf only — normal maps default off on
+        the Mosaic path (the spawn path computes its own, the tracker uses
+        the per-frame single raycast)."""
         c2ws = np.asarray(c2ws, np.float32)
         K_dev = self._K_dev if K is None else jnp.asarray(
             np.asarray(K), jnp.float32)
@@ -563,14 +567,15 @@ class TsdfEngine:
             return rc_pallas.raycast_batch(
                 self.vol, jnp.asarray(c2ws), K_dev,
                 self.width, self.height, p.raycast_lb, p.raycast_samples,
-                max(p.raycast_bisect, 5), 2 if quality else 1,
+                max(p.raycast_bisect, 3), 2 if quality else 1,
                 p.raycast_tiles_per_step,
                 pool_prefix=self._pool_prefix(),
+                need_normals=need_normals,
             )
         return rc_tiles.raycast_batch(
             self.vol, jnp.asarray(c2ws), K_dev,
             self.width, self.height, p.raycast_lb, p.raycast_samples,
-            max(p.raycast_bisect, 5), p.raycast_chunk,
+            max(p.raycast_bisect, 3), p.raycast_chunk,
             pool_prefix=self._pool_prefix(),
         )
 
@@ -596,17 +601,20 @@ class TsdfEngine:
         os.makedirs(out_dir, exist_ok=True)
         np.savez_compressed(
             os.path.join(out_dir, "scene.npz"),
-            table_keys=np.asarray(self.vol.table_keys),
-            table_ptrs=np.asarray(self.vol.table_ptrs),
+            # stored flat [H] for on-disk stability across the bucket-major
+            # in-memory layout
+            table_keys=np.asarray(self.vol.table_keys).reshape(-1),
+            table_ptrs=np.asarray(self.vol.table_ptrs).reshape(-1),
             block_coords=np.asarray(self.vol.block_coords),
             sdf=np.asarray(self.vol.sdf),
             w_depth=np.asarray(self.vol.w_depth),
             color=np.asarray(self.vol.color),
             w_color=np.asarray(self.vol.w_color),
             n_blocks=np.asarray(self.vol.n_blocks),
-            mip=np.asarray(self.vol.mip),
-            block_min_sdf=np.asarray(self.vol.block_min_sdf),
-            block_max_w=np.asarray(self.vol.block_max_w),
+            mip=np.asarray(self.vol.summary[:, :64]),
+            block_min_sdf=np.asarray(self.vol.summary[:, 64]),
+            block_max_w=np.asarray(
+                self.vol.summary[:, 65]).astype(np.int32),
             last_seen=np.asarray(self.vol.last_seen),
             cam_poses=np.stack(self.cam_poses) if self.cam_poses else np.zeros((0, 4, 4)),
             cam_intrinsics=np.stack(self.cam_intrinsics)
@@ -627,20 +635,27 @@ class TsdfEngine:
         if col_np.ndim == 3:
             c = col_np.astype(np.uint32)
             col_np = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+        mp = self.params.max_probes
+        summary = self.vol.summary
+        if "mip" in z:
+            B = summary.shape[0]
+            s_np = np.array(summary)  # writable copy
+            s_np[:, :64] = z["mip"]
+            if "block_min_sdf" in z:
+                s_np[:, 64] = z["block_min_sdf"]
+            if "block_max_w" in z:
+                s_np[:, 65] = z["block_max_w"].astype(np.float32)
+            summary = jnp.asarray(s_np)
         self.vol = self.vol.replace(
-            table_keys=jnp.asarray(z["table_keys"]),
-            table_ptrs=jnp.asarray(z["table_ptrs"]),
+            table_keys=jnp.asarray(z["table_keys"].reshape(-1, mp)),
+            table_ptrs=jnp.asarray(z["table_ptrs"].reshape(-1, mp)),
             block_coords=jnp.asarray(z["block_coords"]),
             sdf=jnp.asarray(sdf_np),
             w_depth=jnp.asarray(z["w_depth"].astype(np.uint8)),
             color=jnp.asarray(col_np),
             w_color=jnp.asarray(z["w_color"].astype(np.uint8)),
             n_blocks=jnp.asarray(z["n_blocks"]),
-            mip=jnp.asarray(z["mip"]) if "mip" in z else self.vol.mip,
-            block_min_sdf=jnp.asarray(z["block_min_sdf"])
-            if "block_min_sdf" in z else self.vol.block_min_sdf,
-            block_max_w=jnp.asarray(z["block_max_w"])
-            if "block_max_w" in z else self.vol.block_max_w,
+            summary=summary,
             last_seen=jnp.asarray(z["last_seen"])
             if "last_seen" in z else self.vol.last_seen,
         )

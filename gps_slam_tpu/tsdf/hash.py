@@ -72,8 +72,8 @@ def hash_packed(packed: jax.Array, table_size: int) -> jax.Array:
 
 
 def lookup(
-    table_keys: jax.Array,  # uint32 [H]
-    table_ptrs: jax.Array,  # int32 [H]
+    table_keys: jax.Array,  # uint32 [H/mp, mp] bucket-major
+    table_ptrs: jax.Array,  # int32 [H/mp, mp]
     packed: jax.Array,      # uint32 [...]: query keys
     max_probes: int,
 ) -> jax.Array:
@@ -81,19 +81,21 @@ def lookup(
 
     Probing is over the ALIGNED `max_probes`-slot bucket containing the
     hash (slots `(h & ~(mp-1)) .. +mp-1`), so the whole probe window is
-    ONE contiguous row gather of the [H/mp, mp]-reshaped table.  The old
-    linear chain `(h+r) & (H-1)` needed `max_probes` separate element
-    gathers — scalar-core work that the round-3 trace showed dominating
-    fuse_frame (~1.5 ms per [32k] element gather vs DMA-speed rows).
-    Bucket capacity is mp keys; with the default 2^17 blocks in a 2^21
-    table (load 1/16, Poisson per-bucket mean 0.5) a 9-deep bucket has
-    ~1e-9 probability — the same benign-miss class the linear chain had.
+    ONE contiguous row gather of the bucket-major table.  The table is
+    STORED [H/mp, mp] (not reshaped per call: the 1-D T(1024) -> 2-D
+    T(8,128) relayout cost ~1 ms/frame inside the fusion scan, round-5
+    xplane trace).  The old linear chain `(h+r) & (H-1)` needed
+    `max_probes` separate element gathers — scalar-core work that the
+    round-3 trace showed dominating fuse_frame.  Bucket capacity is mp
+    keys; with the default 2^17 blocks in a 2^21 table (load 1/16,
+    Poisson per-bucket mean 0.5) a 9-deep bucket has ~1e-9 probability —
+    the same benign-miss class the linear chain had.
     """
-    H = table_keys.shape[0]
-    mp = max_probes
-    row = hash_packed(packed, H) // mp
-    keys_r = table_keys.reshape(H // mp, mp)[row]   # [..., mp] row gather
-    ptrs_r = table_ptrs.reshape(H // mp, mp)[row]
+    R, mp = table_keys.shape
+    assert mp == max_probes, (table_keys.shape, max_probes)
+    row = hash_packed(packed, R * mp) // mp
+    keys_r = table_keys[row]   # [..., mp] row gather
+    ptrs_r = table_ptrs[row]
     match = keys_r == packed[..., None]
     return jnp.max(jnp.where(match, ptrs_r, -1), axis=-1)
 
@@ -117,11 +119,11 @@ def dedup_candidates(packed: jax.Array, cap: int) -> jax.Array:
 
 
 def insert(
-    table_keys: jax.Array,   # uint32 [H]
-    table_ptrs: jax.Array,   # int32 [H]
+    table_keys: jax.Array,   # uint32 [H/mp, mp] bucket-major
+    table_ptrs: jax.Array,   # int32 [H/mp, mp]
     n_blocks: jax.Array,     # int32 scalar: current block-pool cursor
     block_coords: jax.Array, # uint32 [B] pool-index -> packed key (reverse map)
-    packed: jax.Array,       # uint32 [M] candidate keys (may contain EMPTY = skip)
+    packed: jax.Array,       # uint32 [M] UNIQUE candidate keys (EMPTY = skip)
     max_probes: int,
     block_capacity: int,
     claim_rounds: int | None = None,
@@ -130,23 +132,27 @@ def insert(
 
     Returns (table_keys, table_ptrs, n_blocks, block_coords).
 
+    `packed` must carry each real key AT MOST ONCE (dedup_candidates
+    guarantees this for the fusion path; the swap engine's key sets are
+    unique by construction).  Uniqueness makes slot ownership unique —
+    a slot holds one key and at most one candidate carries it — so no
+    winner-per-slot pass is needed (the previous one materialized an
+    [H]-sized scratch + scatter + gather every frame, ~1 ms at H=2^21).
+
     Race discipline: each round scatters unresolved candidates onto their
     bucket's first EMPTY slot; the next round's bucket re-read decides the
     winner (XLA scatter picks one deterministically), and losers retry on
-    the next empty slot.  Duplicate candidates with the same key collapse
-    automatically.  Candidates unresolved after the claim rounds (or in a
-    full bucket) are dropped for this frame — the same benign-miss the
-    reference accepts (ITMSceneReconstructionEngine_Shared.h:207-323 drops
-    on hash-collision within a frame too).
+    the next empty slot.  Candidates unresolved after the claim rounds (or
+    in a full bucket) are dropped for this frame — the same benign-miss
+    the reference accepts (ITMSceneReconstructionEngine_Shared.h:207-323
+    drops on hash-collision within a frame too).
     """
-    H = table_keys.shape[0]
-    M = packed.shape[0]
-    mp = max_probes
+    R, mp = table_keys.shape
+    assert mp == max_probes, (table_keys.shape, max_probes)
     valid = packed != EMPTY
-    row = hash_packed(packed, H) // mp
-    base = (row * mp).astype(jnp.int32)
+    row = hash_packed(packed, R * mp) // mp              # [M] bucket row
     resolved = ~valid
-    my_slot = jnp.full((M,), H, jnp.int32)   # resolved candidates' slot
+    my_col = jnp.full(packed.shape, mp, jnp.int32)       # column in bucket
     # bucketized claim rounds: each round is one [M, mp] bucket row gather
     # (contiguous — see lookup) + one element scatter; the NEXT round's
     # gather doubles as the race check (a claim winner sees its own key as
@@ -156,47 +162,44 @@ def insert(
     # count are dropped for the frame (benign-miss, re-candidates next
     # frame).  Default = mp rounds (resolves a full bucket — bulk inserts
     # like scene load / swap rebuild need it); the incremental per-frame
-    # path passes claim_rounds=4, beyond Poisson reality at 1/16 load.
+    # path passes claim_rounds=2 (a round is only lost to a same-bucket
+    # same-slot pileup of DIFFERENT new keys — already rare at 1/16 load).
     rounds = min(mp, mp if claim_rounds is None else claim_rounds)
+    ptrs_row = None
     for r in range(rounds + 1):
-        keys = table_keys.reshape(H // mp, mp)[row]          # [M, mp]
+        keys = table_keys[row]                           # [M, mp] row gather
         hitl = keys == packed[:, None]
         hit = (~resolved) & jnp.any(hitl, axis=-1)
-        hit_slot = base + jnp.argmax(hitl, axis=-1).astype(jnp.int32)
-        my_slot = jnp.where(hit, hit_slot, my_slot)
+        hit_col = jnp.argmax(hitl, axis=-1).astype(jnp.int32)
+        my_col = jnp.where(hit, hit_col, my_col)
         resolved = resolved | hit
         if r == rounds:
+            # the ptr bucket rides the same rows as the final key gather
+            ptrs_row = table_ptrs[row]                   # [M, mp]
             break
         # claim the first empty slot of the bucket
         emptyl = keys == EMPTY
-        e_slot = base + jnp.argmax(emptyl, axis=-1).astype(jnp.int32)
+        e_col = jnp.argmax(emptyl, axis=-1).astype(jnp.int32)
         want = (~resolved) & jnp.any(emptyl, axis=-1)
-        table_keys = table_keys.at[jnp.where(want, e_slot, H)].set(
-            packed, mode="drop"
-        )
+        table_keys = table_keys.at[
+            jnp.where(want, row, R), e_col
+        ].set(packed, mode="drop")
 
     # allocate pool pointers for newly-claimed slots.  All bookkeeping
-    # runs on the [M]-sized candidate arrays, never the [H]-sized table
-    # (a full-table cumsum + scatter costs ~10 ms/frame at H = 2^21).
-    # Duplicate candidates resolve to the same slot; a one-winner-per-slot
-    # scatter keeps exactly one allocator per slot.
-    slot_safe = jnp.where(resolved & valid, my_slot, 0)
-    maybe_new = resolved & valid & (table_ptrs[slot_safe] < 0)
-    cand_ids = jnp.arange(M, dtype=jnp.int32)
-    winner = jnp.full((H,), M, jnp.int32).at[
-        jnp.where(maybe_new, my_slot, H)
-    ].set(cand_ids, mode="drop")
-    is_new = maybe_new & (winner[slot_safe] == cand_ids)
+    # runs on the [M]-sized candidate arrays, never the [H]-sized table.
+    col_safe = jnp.minimum(my_col, mp - 1)
+    my_ptr = jnp.take_along_axis(ptrs_row, col_safe[:, None], 1)[:, 0]
+    is_new = resolved & valid & (my_ptr < 0)
     order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     new_ptr = n_blocks + order
     fits = is_new & (new_ptr < block_capacity)
-    table_ptrs = table_ptrs.at[jnp.where(fits, my_slot, H)].set(
-        new_ptr, mode="drop"
-    )
+    table_ptrs = table_ptrs.at[
+        jnp.where(fits, row, R), col_safe
+    ].set(new_ptr, mode="drop")
     # overflow: un-insert keys that could not get a block this frame
-    table_keys = table_keys.at[jnp.where(is_new & ~fits, my_slot, H)].set(
-        EMPTY, mode="drop"
-    )
+    table_keys = table_keys.at[
+        jnp.where(is_new & ~fits, row, R), col_safe
+    ].set(EMPTY, mode="drop")
     n_alloc = jnp.sum(fits.astype(jnp.int32))
     # reverse map: pool index -> packed coords
     block_coords = block_coords.at[jnp.where(fits, new_ptr, block_capacity)].set(

@@ -197,15 +197,22 @@ def visible_blocks(
         dpad = jnp.pad(depth, ((0, th * PT - height), (0, tw * PT - width)))
         tiles = dpad.reshape(th, PT, tw, PT)
         dvalid = tiles > 0
-        tmin = jnp.min(jnp.where(dvalid, tiles, jnp.inf), axis=(1, 3))
-        tmax = jnp.max(jnp.where(dvalid, tiles, -jnp.inf), axis=(1, 3))
+        # finite sentinels (not +-inf): the one-hot lane select below
+        # multiplies by 0, and inf * 0 = nan would poison the band test
+        tmin = jnp.min(jnp.where(dvalid, tiles, 1e9), axis=(1, 3))
+        tmax = jnp.max(jnp.where(dvalid, tiles, -1e9), axis=(1, 3))
         zc = sz / 8.0
         uc = jnp.clip(su / 8.0 / PT, 0, tw - 1).astype(jnp.int32)
         vc = jnp.clip(sv / 8.0 / PT, 0, th - 1).astype(jnp.int32)
         margin = p.mu + 1.74 * p.voxel_size * BLOCK
-        in_band = (
-            (zc > tmin[vc, uc] - margin) & (zc < tmax[vc, uc] + margin)
-        )
+        # tmin[vc, uc] as a 2-D element gather runs on the scalar core
+        # (~1.2 ms/frame at B=128k, round-5 trace); a contiguous ROW
+        # gather + one-hot lane select is DMA + VPU work instead
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)
+        sel = (lane == uc[:, None]).astype(jnp.float32)          # [B, tw]
+        tmin_b = jnp.sum(tmin[vc] * sel, axis=1)
+        tmax_b = jnp.sum(tmax[vc] * sel, axis=1)
+        in_band = (zc > tmin_b - margin) & (zc < tmax_b + margin)
         vis = vis & in_band
 
     cap = cap if cap is not None else p.visible_capacity
@@ -381,11 +388,12 @@ def _fuse_frame_impl(
     tk, tp, nb, bc = vhash.insert(
         vol.table_keys, vol.table_ptrs, vol.n_blocks, vol.block_coords,
         cand, p.max_probes, p.block_capacity,
-        # incremental per-frame inserts: >4-deep same-bucket NEW-key
-        # pileups are vanishing at 1/16 load, and a dropped candidate
-        # re-candidates next frame; each extra round costs an O(M)
-        # scalar-core scatter
-        claim_rounds=4,
+        # incremental per-frame inserts: a claim round is only lost to a
+        # same-bucket same-slot pileup of DIFFERENT new keys — already
+        # rare at 1/16 load, and a dropped candidate re-candidates next
+        # frame.  Each extra round costs an [M, mp] row gather + an O(M)
+        # scalar-core scatter (~0.7 ms/frame at M=32k, round-5 trace)
+        claim_rounds=2,
     )
     vol = vol.replace(table_keys=tk, table_ptrs=tp, n_blocks=nb, block_coords=bc)
 
@@ -576,11 +584,7 @@ def _finish_fuse_packed(vol, vis, vis_valid, new_packed, new_cp, summary,
         w_depth=vol.w_depth.at[scatter_idx].set(new_w, mode="drop"),
         color=vol.color.at[scatter_idx].set(new_cp, mode="drop"),
         w_color=vol.w_color.at[scatter_idx].set(new_wc, mode="drop"),
-        mip=vol.mip.at[scatter_idx].set(summary[:, :64], mode="drop"),
-        block_min_sdf=vol.block_min_sdf.at[scatter_idx].set(
-            summary[:, 64], mode="drop"),
-        block_max_w=vol.block_max_w.at[scatter_idx].set(
-            summary[:, 65].astype(jnp.int32), mode="drop"),
+        summary=vol.summary.at[scatter_idx].set(summary, mode="drop"),
     )
     if frame_idx is not None:
         vol = vol.replace(
@@ -600,12 +604,16 @@ def _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
     if n_vis is not None:
         vol = vol.replace(n_visible=n_vis)
     # 2x2x2 mean-pooled sdf mip (lin64 = mx + 4*my + 16*mz), min
-    # integrated sdf, max weight
+    # integrated sdf, max weight — one [V, 128] summary row per block
     f_cube = new_f.reshape(-1, 8, 8, 8)          # [V][z][y][x]
     mip = f_cube.reshape(-1, 4, 2, 4, 2, 4, 2).mean(axis=(2, 4, 6)).reshape(-1, 64)
     integrated = new_w > 0
     min_sdf = jnp.min(jnp.where(integrated, new_f, 1.0), axis=1)
-    max_w = jnp.max(new_w, axis=1).astype(jnp.int32)
+    max_w = jnp.max(new_w, axis=1)
+    V = new_f.shape[0]
+    summary = jnp.concatenate(
+        [mip, min_sdf[:, None], max_w[:, None],
+         jnp.zeros((V, 62), jnp.float32)], axis=1)
 
     # scatter back (unique indices -> deterministic)
     scatter_idx = jnp.where(vis_valid, vis, p.block_capacity)
@@ -614,9 +622,7 @@ def _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
         w_depth=vol.w_depth.at[scatter_idx].set(new_w.astype(jnp.uint8), mode="drop"),
         color=vol.color.at[scatter_idx].set(_pack_rgb(new_c), mode="drop"),
         w_color=vol.w_color.at[scatter_idx].set(new_wc.astype(jnp.uint8), mode="drop"),
-        mip=vol.mip.at[scatter_idx].set(mip, mode="drop"),
-        block_min_sdf=vol.block_min_sdf.at[scatter_idx].set(min_sdf, mode="drop"),
-        block_max_w=vol.block_max_w.at[scatter_idx].set(max_w, mode="drop"),
+        summary=vol.summary.at[scatter_idx].set(summary, mode="drop"),
     )
     if frame_idx is not None:
         vol = vol.replace(

@@ -313,7 +313,7 @@ def extract_mesh(vol: TsdfVolume, chunk_blocks: int = 2048,
         "color": unpack_color_np(vol.color),
     }
     hh = _HostHash(
-        np.asarray(vol.table_keys), np.asarray(vol.table_ptrs), vol.params.max_probes
+        np.asarray(vol.table_keys).reshape(-1), np.asarray(vol.table_ptrs).reshape(-1), vol.params.max_probes
     )
     n_blocks = int(vol.n_blocks)
     all_verts, all_cols = [], []

@@ -78,8 +78,8 @@ def extract_mesh_native(vol, require_weight: bool = True,
         mc_tri = np.ascontiguousarray(_MC_TRI, np.int8)
     else:
         mc_tri = np.zeros(1, np.int8)
-    tk = np.ascontiguousarray(np.asarray(vol.table_keys), np.uint32)
-    tp = np.ascontiguousarray(np.asarray(vol.table_ptrs), np.int32)
+    tk = np.ascontiguousarray(np.asarray(vol.table_keys).reshape(-1), np.uint32)
+    tp = np.ascontiguousarray(np.asarray(vol.table_ptrs).reshape(-1), np.int32)
     bc = np.ascontiguousarray(np.asarray(vol.block_coords), np.uint32)
     sdf = np.ascontiguousarray(
         np.asarray(vol.sdf).astype(np.float32) / 32767.0, np.float32)

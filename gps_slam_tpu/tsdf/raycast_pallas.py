@@ -48,7 +48,7 @@ from .volume import BLOCK, TsdfVolume
 NEAR = 0.9
 
 
-def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
+def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, col_ref, out_ref,
             *, C, LB, s_coarse, s_refine, k_blocks,
             inv_vox, ext, frustum_min, frustum_max, need_color=True):
     """One grid step: C tiles.  All per-tile arrays keep the 256-pixel
@@ -58,7 +58,8 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
 
     for c in range(C):
         d = dirs_ref[c]                       # [3, P] f32
-        borg = borg_ref[c]                    # [LB, 3] f32 (camera-relative)
+        borg = borg_ref[c]                    # [LB, 4] f32 (camera-relative
+                                              #  corner xyz | block max_w)
         sdf_r = sdf_ref[c]                    # [LB, 512] bf16
         mip_r = mip_ref[c]                    # [LB, 64] bf16
         dx = d[0:1]                           # [1, P]
@@ -300,15 +301,19 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
             u2 = jnp.sum(u1 * wy[None], axis=1)                # [8, P]
             return jnp.sum(u2 * wz, axis=0, keepdims=True)     # [1, P]
 
-        ohw = ohl_win.astype(jnp.bfloat16)
-        w_sel = jax.lax.dot_general(
-            w_ref[c], ohw, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [512, P]
-        conf = tri3(w_sel)
+        # confidence = the winning block's max integration weight
+        # (summary lane 65, riding in borg col 3) — the per-voxel
+        # trilinear weight read cost a [T, LB, 512] payload gather + one
+        # tri3 chain per tile (~1.4 ms/camera); consumers only threshold /
+        # average it (keyframe policy), so block-level confidence carries
+        # the same signal.  The XLA oracle (raycast_tiles) keeps the
+        # reference's per-voxel trilinear semantics.
+        conf = jnp.sum(ohl_win * borg[:, 3:4], 0, keepdims=True)  # [1, P]
         fm = found.astype(jnp.float32)
         out_ref[c, 0] = (t_star * fm)[0]
         out_ref[c, 1] = ((conf + 1.0) * fm)[0]
         if need_color:
+            ohw = ohl_win.astype(jnp.bfloat16)
             c_sel = jax.lax.dot_general(
                 col_ref[c], ohw, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # [1536, P]
@@ -326,7 +331,7 @@ def _kernel(borg_ref, dirs_ref, sdf_ref, mip_ref, w_ref, col_ref, out_ref,
         out_ref[c, 7] = jnp.zeros((P,), jnp.float32)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def raycast(
     vol: TsdfVolume,
     c2w: jax.Array,
@@ -341,6 +346,7 @@ def raycast(
     interpret: bool = False,
     pool_prefix: int | None = None,
     need_color: bool = True,
+    need_normals: bool = True,
 ):
     """Drop-in replacement for raycast_tiles.raycast (same output dict)."""
     p = vol.params
@@ -368,8 +374,9 @@ def raycast(
 
     sdf_rows = (vol.sdf[gids].astype(jnp.float32)
                 * INV_SDF_SCALE).astype(jnp.bfloat16)          # [T, LB, 512]
-    mip_rows = vol.mip[gids].astype(jnp.bfloat16)              # [T, LB, 64]
-    w_rows = vol.w_depth[gids].astype(jnp.bfloat16)            # [T, LB, 512]
+    summ_rows = vol.summary[gids]                              # [T, LB, 128]
+    mip_rows = summ_rows[..., :64].astype(jnp.bfloat16)        # [T, LB, 64]
+    maxw_rows = summ_rows[..., 65]                             # [T, LB]
     if need_color:
         cp = vol.color[gids]                                   # [T, LB, 512] u32
         col_rows = jnp.concatenate(
@@ -383,6 +390,9 @@ def raycast(
         p.voxel_size * BLOCK) - t[None, None, :]               # camera-relative
     # park invalid slots far away -> slab test can never hit them
     borg = jnp.where(valid[..., None], borg, 1e9)
+    # col 3 carries the block's max integration weight (confidence source)
+    borg = jnp.concatenate(
+        [borg, jnp.where(valid, maxw_rows, 0.0)[..., None]], -1)
 
     # per-tile ray directions, [T, 3, P] (depth-parameterized: dir_cam z=1)
     tids = jnp.arange(T, dtype=jnp.int32)
@@ -412,7 +422,6 @@ def raycast(
     dirs_p = pad(dirs, 1.0)
     sdf_p = pad(sdf_rows, 1)
     mip_p = pad(mip_rows, 1)
-    w_p = pad(w_rows)
     col_p = pad(col_rows)
 
     kern = functools.partial(
@@ -429,14 +438,14 @@ def raycast(
         kern,
         grid=(n_steps,),
         in_specs=[
-            spec((lb, 3)), spec((3, P)), spec((lb, 512)),
-            spec((lb, 64)), spec((lb, 512)),
+            spec((lb, 4)), spec((3, P)), spec((lb, 512)),
+            spec((lb, 64)),
             spec((lb, 3 * 512)) if need_color else spec((1, 128)),
         ],
         out_specs=spec((8, P)),
         out_shape=jax.ShapeDtypeStruct((T_pad, 8, P), jnp.float32),
         interpret=interpret,
-    )(borg_p, dirs_p, sdf_p, mip_p, w_p, col_p)
+    )(borg_p, dirs_p, sdf_p, mip_p, col_p)
 
     t_star = out[:T, 0]                                        # [T, P]
     conf = out[:T, 1]
@@ -460,14 +469,21 @@ def raycast(
     color_img = unpack_img(color.transpose(0, 2, 1).reshape(T, P, 3), 3)
     conf_img = unpack_img(conf * found)
 
-    from ..utils.se3 import compute_normal_map
+    if need_normals:
+        from ..utils.se3 import compute_normal_map
 
-    normal_img = compute_normal_map(vertex_img)
-    hit_mask = (depth_img > 0).astype(jnp.float32)
-    nbhd_ok = jax.lax.reduce_window(
-        hit_mask, 1.0, jax.lax.min, (3, 3), (1, 1), "SAME"
-    ) > 0.5
-    normal_img = jnp.where(nbhd_ok[..., None], normal_img, 0.0)
+        normal_img = compute_normal_map(vertex_img)
+        hit_mask = (depth_img > 0).astype(jnp.float32)
+        nbhd_ok = jax.lax.reduce_window(
+            hit_mask, 1.0, jax.lax.min, (3, 3), (1, 1), "SAME"
+        ) > 0.5
+        normal_img = jnp.where(nbhd_ok[..., None], normal_img, 0.0)
+    else:
+        # normal maps feed only the ICP tracker's per-frame prepare and
+        # the spawn path (which recomputes its own) — the opt-window and
+        # eval BATCH raycasts skip the sobel + reduce_window post-pass
+        # (~0.6 ms/frame at bench scale, round-5 trace)
+        normal_img = jnp.zeros_like(vertex_img)
     return {
         "vertex_map": vertex_img,
         "color_map": color_img,
@@ -478,7 +494,7 @@ def raycast(
     }
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def raycast_batch(
     vol: TsdfVolume,
     c2ws: jax.Array,  # [M, 4, 4]
@@ -492,6 +508,7 @@ def raycast_batch(
     tiles_per_step: int = 4,
     interpret: bool = False,
     pool_prefix: int | None = None,
+    need_normals: bool = False,
 ):
     """`raycast` scanned over M poses — stacked [M, ...] map dict in ONE
     device program.  An optimization window's raycasts (local window +
@@ -503,7 +520,7 @@ def raycast_batch(
     def body(_, c2w):
         return None, raycast(vol, c2w, K, width, height, lb, s_coarse,
                              s_refine, k_blocks, tiles_per_step, interpret,
-                             pool_prefix)
+                             pool_prefix, need_normals=need_normals)
 
     _, maps = jax.lax.scan(body, None, c2ws)
     return maps

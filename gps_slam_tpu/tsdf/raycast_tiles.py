@@ -76,7 +76,8 @@ def _tile_bins(
     B = pool_prefix if pool_prefix is not None else p.block_capacity
 
     allocated = jnp.arange(B) < vol.n_blocks
-    surf = allocated & (vol.block_max_w[:B] > 0) & (vol.block_min_sdf[:B] < 0.99)
+    surf = (allocated & (vol.summary[:B, 65] > 0)
+            & (vol.summary[:B, 64] < 0.99))
     bx, by, bz = vhash.unpack(vol.block_coords[:B])
     corner = jnp.stack([bx, by, bz], -1).astype(jnp.float32) * (p.voxel_size * BLOCK)
     center = corner + 0.5 * p.voxel_size * BLOCK
@@ -220,7 +221,7 @@ def raycast(
 
     sdf_rows = (vol.sdf[gids].astype(jnp.float32)
                 * INV_SDF_SCALE).astype(jnp.bfloat16)  # [T, LB, 512]
-    mip_rows = vol.mip[gids].astype(jnp.bfloat16)      # [T, LB, 64]
+    mip_rows = vol.summary[gids, :64].astype(jnp.bfloat16)  # [T, LB, 64]
     w_rows = vol.w_depth[gids].astype(jnp.bfloat16)    # [T, LB, 512]
     cp = vol.color[gids]                               # [T, LB, 512] u32 packed
     c_rows = jnp.stack(

@@ -33,8 +33,8 @@ import numpy as np
 from . import hash as vhash
 from .volume import TsdfVolume
 
-_POOL_FIELDS = ("sdf", "w_depth", "color", "w_color", "mip",
-                "block_min_sdf", "block_max_w", "last_seen")
+_POOL_FIELDS = ("sdf", "w_depth", "color", "w_color", "summary",
+                "last_seen")
 
 
 class HostSwapEngine:
@@ -75,9 +75,9 @@ class HostSwapEngine:
         # unique, all new -> ptrs are exactly 0..keep_n-1 in that order)
         p = vol.params
         keep_keys = jnp.asarray(coords[keep_ids])
-        H = p.hash_size
-        tk = jnp.full((H,), vhash.EMPTY, dtype=jnp.uint32)
-        tp = jnp.full((H,), -1, dtype=jnp.int32)
+        H, mp = p.hash_size, p.max_probes
+        tk = jnp.full((H // mp, mp), vhash.EMPTY, dtype=jnp.uint32)
+        tp = jnp.full((H // mp, mp), -1, dtype=jnp.int32)
         bc = jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32)
         tk, tp, nb, bc = vhash.insert(
             tk, tp, jnp.zeros((), jnp.int32), bc, keep_keys,
@@ -89,6 +89,11 @@ class HostSwapEngine:
             t = jnp.full((B - keep_n, *x.shape[1:]), fill, x.dtype)
             return jnp.concatenate([x[keep_dev], t], 0)
 
+        def tail_like_summary(x):
+            from .volume import init_summary
+            return jnp.concatenate(
+                [x[keep_dev], init_summary(B - keep_n)], 0)
+
         from .volume import SDF_SCALE
 
         vol = vol.replace(
@@ -97,9 +102,7 @@ class HostSwapEngine:
             w_depth=tail_like(vol.w_depth, 0),
             color=tail_like(vol.color, 0),
             w_color=tail_like(vol.w_color, 0),
-            mip=tail_like(vol.mip, 1.0),
-            block_min_sdf=tail_like(vol.block_min_sdf, 1.0),
-            block_max_w=tail_like(vol.block_max_w, 0),
+            summary=tail_like_summary(vol.summary),
             last_seen=tail_like(vol.last_seen, -1),
         )
         self._n_known = keep_n
@@ -240,7 +243,10 @@ class HostSwapEngine:
         mip = f.reshape(-1, 4, 2, 4, 2, 4, 2).mean(axis=(2, 4, 6)).reshape(-1, 64)
         integrated = w > 0
         min_sdf = np.min(np.where(integrated, f, 1.0), axis=1)
-        maxw_blk = np.max(w, axis=1).astype(np.int32)
+        maxw_blk = np.max(w, axis=1).astype(np.float32)
+        summary = np.concatenate(
+            [mip, min_sdf[:, None], maxw_blk[:, None],
+             np.zeros((len(mip), 62), np.float32)], axis=1).astype(np.float32)
 
         vol = vol.replace(
             sdf=vol.sdf.at[rows_dev].set(
@@ -251,11 +257,7 @@ class HostSwapEngine:
             color=vol.color.at[rows_dev].set(jnp.asarray(c_packed)),
             w_color=vol.w_color.at[rows_dev].set(
                 jnp.asarray(wc.astype(np.uint8))),
-            mip=vol.mip.at[rows_dev].set(jnp.asarray(mip.astype(np.float32))),
-            block_min_sdf=vol.block_min_sdf.at[rows_dev].set(
-                jnp.asarray(min_sdf.astype(np.float32))),
-            block_max_w=vol.block_max_w.at[rows_dev].set(
-                jnp.asarray(maxw_blk)),
+            summary=vol.summary.at[rows_dev].set(jnp.asarray(summary)),
         )
         self.n_reloaded_total += len(hit)
         return vol

@@ -88,8 +88,12 @@ class TsdfParams:
 @struct.dataclass
 class TsdfVolume:
     params: TsdfParams
-    table_keys: jax.Array    # uint32 [H] packed block coords (EMPTY = free)
-    table_ptrs: jax.Array    # int32 [H] block-pool index or -1
+    # hash table stored BUCKET-MAJOR [H/max_probes, max_probes]: every
+    # probe window is one contiguous row, and the layout is 2-D-native
+    # (reshaping a 1-D [H] table per lookup cost ~1 ms/frame of T(1024)
+    # -> T(8,128) relayout inside the fusion scan, round-5 xplane trace)
+    table_keys: jax.Array    # uint32 [H/mp, mp] packed block coords (EMPTY = free)
+    table_ptrs: jax.Array    # int32 [H/mp, mp] block-pool index or -1
     block_coords: jax.Array  # uint32 [B] reverse map: pool idx -> packed coords
     sdf: jax.Array           # i16 [B, 512] sdf * SDF_SCALE, init SDF_SCALE
     w_depth: jax.Array       # u8 [B, 512]
@@ -105,22 +109,34 @@ class TsdfVolume:
     # fetches it asynchronously to size the next frames' visible-list
     # bucket (integrate.visible_blocks cap)
     n_visible: jax.Array     # i32 scalar
-    # incremental per-block summaries for the tile raycaster
-    mip: jax.Array           # f32 [B, 64] 2x2x2 mean-pooled sdf
-    block_min_sdf: jax.Array # f32 [B] min sdf over integrated voxels (1 = none)
-    block_max_w: jax.Array   # i32 [B] max integration weight
+    # incremental per-block summaries for the tile raycaster, ONE f32
+    # [B, 128] row per block: lanes 0..63 = 2x2x2 mean-pooled sdf mip,
+    # lane 64 = min sdf over integrated voxels (1 = none), lane 65 = max
+    # integration weight.  One row = one scatter at fusion time (the
+    # separate mip/min/max arrays cost three row scatters per frame, and
+    # scatter cost here is per-op index overhead, not bytes)
+    summary: jax.Array       # f32 [B, 128]
     # LRU stamp for the host-swapping engine (frame index of the last
     # fusion that saw the block visible; -1 = never)
     last_seen: jax.Array     # i32 [B]
 
 
+def init_summary(B: int) -> jax.Array:
+    """Fresh per-block summary rows: mip = 1 (free space), min_sdf = 1,
+    max_w = 0."""
+    row = jnp.concatenate(
+        [jnp.ones((65,), jnp.float32), jnp.zeros((63,), jnp.float32)])
+    return jnp.broadcast_to(row, (B, 128)).copy()
+
+
 def create(params: TsdfParams) -> TsdfVolume:
     H, B = params.hash_size, params.block_capacity
+    mp = params.max_probes
     assert H & (H - 1) == 0, "hash_size must be a power of two"
     return TsdfVolume(
         params=params,
-        table_keys=jnp.full((H,), vhash.EMPTY, dtype=jnp.uint32),
-        table_ptrs=jnp.full((H,), -1, dtype=jnp.int32),
+        table_keys=jnp.full((H // mp, mp), vhash.EMPTY, dtype=jnp.uint32),
+        table_ptrs=jnp.full((H // mp, mp), -1, dtype=jnp.int32),
         block_coords=jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32),
         sdf=jnp.full((B, BLOCK_VOL), int(SDF_SCALE), dtype=jnp.int16),
         w_depth=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint8),
@@ -128,9 +144,7 @@ def create(params: TsdfParams) -> TsdfVolume:
         w_color=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint8),
         n_blocks=jnp.zeros((), dtype=jnp.int32),
         n_visible=jnp.zeros((), dtype=jnp.int32),
-        mip=jnp.ones((B, 64), dtype=jnp.float32),
-        block_min_sdf=jnp.ones((B,), dtype=jnp.float32),
-        block_max_w=jnp.zeros((B,), dtype=jnp.int32),
+        summary=init_summary(B),
         last_seen=jnp.full((B,), -1, dtype=jnp.int32),
     )
 

@@ -112,6 +112,76 @@ def test_window_optimize_pallas_interpret(tmp_path):
     assert hist[-1] < hist[0], hist[[0, -1]]
 
 
+def test_tile_space_loss_matches_image_space(tmp_path):
+    """The tile-space L1 path (rasterize.hoist_window_tiles +
+    ges_splat_tiles, used by window_optimize when ssim/depth weights are 0)
+    must produce the SAME loss value and parameter gradients as the
+    image-space ges_forward + compute_loss composition, including edge
+    tiles that overhang the image and the inactive-tile constant."""
+    W, H = 100, 72  # NOT multiples of 16: exercises the crop mask
+    cams = synthetic.make_cameras(n_frames=1, width=W, height=H)
+    cfg = _cfg(str(tmp_path))
+    m = GaussianModel(cfg, W, H)
+    cam = cams[0]
+    fm = cam.get_frame_maps()
+    mask = jnp.zeros((H, W), bool).at[::5, ::5].set(True)
+    m.pool, n_added, _ = gmodel.add_gaussians(
+        m.pool, fm["vertex_map"], fm["color_map"], fm["normal_map"], mask,
+        0.5, 512, cfg.model.default_opacities,
+        (cfg.model.min_init_scale, cfg.model.max_init_scale), m.next_rng(),
+    )
+    assert int(n_added) > 50
+    st = m.statics
+    opt_cap = m.opt_cap()
+    cparams = {k: (v if k == "exposure" else v[:opt_cap])
+               for k, v in m.pool.params.items()}
+    calive = m.pool.alive[:opt_cap]
+    rng = np.random.default_rng(7)
+    ref_depth = jnp.asarray(
+        rng.uniform(0.5, 3.0, (H, W)).astype(np.float32))
+    base_color = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    gt = jnp.asarray(cam.image)
+    c2w, K = jnp.asarray(cam.c2w), jnp.asarray(cam.K)
+
+    bins = gmodel.ges_bin(cparams, calive, c2w, K, st,
+                          margin_px=st.bin_margin_px)
+
+    def loss_image(p):
+        res = gmodel.ges_forward(
+            p, calive, c2w, K, ref_depth, base_color,
+            jnp.zeros((), jnp.int32), st, bins=bins)
+        return jnp.abs(res["rgb"] - gt).mean()
+
+    from gps_slam_tpu.gs import rasterize
+
+    ref_clamped = jnp.where(ref_depth < 0.01, 1000.0, ref_depth)
+    hoist = rasterize.hoist_window_tiles(
+        bins, ref_clamped, gt, base_color, W, H, st.tile_size, 64,
+        calive.shape[0])
+
+    def loss_tile(p):
+        proj, radii, colors = gmodel._project_and_colors(
+            p, calive, c2w, K, st)
+        colors4 = jnp.concatenate([colors, proj.depths[:, None]], axis=1)
+        out = rasterize.ges_splat_tiles(
+            proj.means2d, proj.conics, colors4,
+            jax.nn.sigmoid(p["opacities"][:, 0]), proj.depths, hoist,
+            st.delta_depth,
+            impl=st.splat_impl,
+            tiles_per_gaussian_cap=st.tiles_per_gaussian_cap)
+        rgb_t = (out[:, :3] + hoist["base_t"]) / (out[:, 4:5] + 1.0)
+        diff = jnp.abs(rgb_t - hoist["gt_t"]) * hoist["pxmask"][:, None, :]
+        return (jnp.sum(diff) + hoist["inactive_sum"]) / float(W * H * 3)
+
+    v0, g0 = jax.value_and_grad(loss_image)(cparams)
+    v1, g1 = jax.value_and_grad(loss_tile)(cparams)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    for k in ("means", "scales", "quats", "features_dc", "opacities"):
+        np.testing.assert_allclose(
+            np.asarray(g0[k]), np.asarray(g1[k]), atol=1e-6, rtol=1e-4,
+            err_msg=k)
+
+
 def test_model_save_load_roundtrip(tmp_path):
     cams = synthetic.make_cameras(n_frames=1, width=160, height=120)
     cfg = _cfg(str(tmp_path))

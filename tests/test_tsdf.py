@@ -22,16 +22,18 @@ def test_pack_unpack_roundtrip(rng):
 
 def test_hash_insert_lookup(rng):
     H, B, P = 1 << 12, 1 << 10, 8
-    keys = jnp.full((H,), vhash.EMPTY, dtype=jnp.uint32)
-    ptrs = jnp.full((H,), -1, dtype=jnp.int32)
+    keys = jnp.full((H // P, P), vhash.EMPTY, dtype=jnp.uint32)
+    ptrs = jnp.full((H // P, P), -1, dtype=jnp.int32)
     bc = jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32)
     nb = jnp.zeros((), jnp.int32)
 
     coords = rng.integers(-100, 100, size=(500, 3)).astype(np.int32)
     coords = np.unique(coords, axis=0)
     packed = vhash.pack(*[jnp.asarray(coords[:, k]) for k in range(3)])
-    # insert with duplicates interleaved
-    cand = jnp.concatenate([packed, packed[::2], packed])
+    # a duplicate-laden stream goes through dedup_candidates first — the
+    # fusion path's composition (insert requires unique keys; see its doc)
+    cand = vhash.dedup_candidates(
+        jnp.concatenate([packed, packed[::2], packed]), 2 * packed.shape[0])
     keys, ptrs, nb, bc = vhash.insert(keys, ptrs, nb, bc, cand, P, B)
     assert int(nb) == coords.shape[0]
 
@@ -50,8 +52,8 @@ def test_hash_insert_lookup(rng):
 
 def test_hash_capacity_overflow(rng):
     H, B, P = 1 << 10, 16, 8
-    keys = jnp.full((H,), vhash.EMPTY, dtype=jnp.uint32)
-    ptrs = jnp.full((H,), -1, dtype=jnp.int32)
+    keys = jnp.full((H // P, P), vhash.EMPTY, dtype=jnp.uint32)
+    ptrs = jnp.full((H // P, P), -1, dtype=jnp.int32)
     bc = jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32)
     nb = jnp.zeros((), jnp.int32)
     coords = rng.integers(-50, 50, size=(100, 3)).astype(np.int32)
