@@ -166,6 +166,19 @@ def _bwd_kernel(g_ref, pix_ref, vo_ref, contrib_ref, *, C, CT, delta_depth):
         contrib_ref[c] = out
 
 
+def _pick_ct(A: int, L: int) -> int:
+    """Tiles per grid step.  Fat steps amortize per-step grid overhead
+    (round-5 trace: the bwd kernel ran at ~6.6 us/step at CT=8, mostly
+    prologue), but the per-tile [L, P] pair scratch lives on the Mosaic
+    stack and the unrolled step must fit scoped VMEM: CT=32 at L=64 is
+    measured-good; CT*L > 2048 OOMed at L=256 (16 MB scoped limit,
+    observed on the synthetic small config)."""
+    for ct in (32, 16, 8, 4, 2, 1):
+        if A % ct == 0 and ct * L <= 2048:
+            return ct
+    return 1
+
+
 def _prep(packed, gids, px, py, ref_tiles):
     """Gather per-tile attribute rows and stack the pixel-plane inputs.
     packed: [N+1, >=9+C] from rasterize._pack_attrs (lane-padded, null row
@@ -183,11 +196,7 @@ def splat_fwd(packed, gids, px, py, ref_tiles, delta_depth, C,
     g, pix = _prep(packed, gids, px, py, ref_tiles)
     A, L, cols = g.shape
     P = px.shape[1]
-    # 32 tiles per grid step: the round-5 trace showed the bwd kernel at
-    # ~6.6 us/step at CT=8 (256 steps for A=2048) — per-step grid overhead,
-    # not compute.  Fatter steps amortize it 4x; VMEM stays ~1 MB.
-    CT = 32 if A % 32 == 0 else 8
-    assert A % CT == 0, (A, CT)
+    CT = _pick_ct(A, L)
     grid = (A // CT,)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, C=C, CT=CT,
@@ -212,8 +221,7 @@ def splat_bwd(packed, gids, px, py, ref_tiles, v_out_t, delta_depth,
     g, pix = _prep(packed, gids, px, py, ref_tiles)
     A, L, cols = g.shape
     P = px.shape[1]
-    CT = 32 if A % 32 == 0 else 8   # see splat_fwd
-    assert A % CT == 0, (A, CT)
+    CT = _pick_ct(A, L)             # see splat_fwd
     grid = (A // CT,)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, C=C, CT=CT,

@@ -66,26 +66,9 @@ def _assemble_opt_batch(c2w, K, cam_id, gt_rgb, ref_depth, base_color):
     }
 
 
-@jax.jit
-def _spawn_mask_bootstrap(depth, vertex, color, gt, vis_min, vis_max,
-                          color_thres):
-    """(mask, normal) for the gs==0 spawn branch, one device program."""
-    valid = ((depth > vis_min) & (depth < vis_max)
-             & (jnp.abs(vertex).sum(-1) > 0))
-    color_error = jnp.abs(color - gt).mean(-1)
-    return (color_error > color_thres) & valid, compute_normal_map(vertex)
-
-
-@jax.jit
-def _spawn_mask(depth, vertex, rgb_render, alpha, gt, vis_min, vis_max,
-                color_thres, alpha_max):
-    """(mask, normal) for the alpha-gated spawn branch
-    (initNewGaussians :450-526), one device program."""
-    valid = ((depth > vis_min) & (depth < vis_max)
-             & (jnp.abs(vertex).sum(-1) > 0))
-    color_error = jnp.abs(rgb_render - gt).mean(-1)
-    mask = (color_error > color_thres) & valid & (alpha < alpha_max)
-    return mask, compute_normal_map(vertex)
+# spawn-mask programs live in megastep.py (shared by the eager per-phase
+# path below and the one-dispatch window megastep)
+from .megastep import _spawn_mask, _spawn_mask_bootstrap  # noqa: E402
 
 
 class SLAMPipeline:
@@ -138,6 +121,7 @@ class SLAMPipeline:
             (cfg.raw.get("PIPE", {}) or {}).get("log_pipeline_time", False)
         )
         self._last_loss_hist = None
+        self._megastep_ran = False
         self._dp_render = None  # cached (key, mesh, fn) for DP eval renders
         # timing accumulators (LOG_PIPELINE_TIME equivalents)
         self.t_fusion = self.t_local_raycast = self.t_key_raycast = 0.0
@@ -255,6 +239,14 @@ class SLAMPipeline:
                 continue
             if i % p.local_opt_interval == 0 and i > 0:
                 t1 = time.monotonic()
+                if not sync and self._can_megastep(model):
+                    # ONE device program for the whole window (raycast ->
+                    # spawn -> optimize -> prune; slam/megastep.py); the
+                    # per-phase wall columns don't decompose — the total
+                    # lands in localOptimize
+                    self._run_window_megastep(model)
+                    self.t_opt += (time.monotonic() - t1) * 1000
+                    continue
                 if sync:
                     # honest-timing mode keeps the two-phase per-camera
                     # path so the localFrame/keyFrame columns stay real
@@ -496,6 +488,133 @@ class SLAMPipeline:
                 os.path.join(out_dir, f"frame{cur}_{fid}.depth.jpg"),
                 vis.depth_comp_img(np.asarray(rays["depth_map"]), cam.depth,
                                    0, p.depth_vis_max, 0, p.depth_error_max))
+
+    # -------------------------------------------------------------- megastep
+
+    def _can_megastep(self, model: GaussianModel) -> bool:
+        """The one-dispatch window (slam/megastep.py) applies when every
+        per-window host hook is a no-op: no debug artifacts / TB state
+        logging (they need the raycast maps on host), no exposure
+        optimization (needs real cam ids), engine-uniform intrinsics, no
+        swapping / spatial sharding (per-pose host work inside raycast),
+        and the model is past its bootstrap window (the gs==0 branch keeps
+        the reference-shaped eager path).  The current frame must own the
+        window's last raycast slot (it does whenever local_opt_interval is
+        a multiple of the window interval, as in every release config)."""
+        eng = self.engine
+        if getattr(self, "disable_megastep", False):
+            return False
+        if model.statics.use_exposure or self.pipe.depth_weight > 0:
+            return False
+        if self._debug_artifacts_on() or (
+                self._tb is not None and self.pipe.log_slam_state):
+            return False
+        if eng.swap is not None or eng.space_shards > 1:
+            return False
+        if model.num_gaussians_cached == 0:
+            return False
+        if (not self.localframe_cam_window
+                or self.localframe_cam_window[-1] is not self.curr_cam):
+            return False
+        cams = self.localframe_cam_window + self.keyframe_cam_list
+        return all(
+            cam.width == eng.width and cam.height == eng.height
+            and np.allclose(np.asarray(cam.K), eng.K) for cam in cams
+        )
+
+    def _run_window_megastep(self, model: GaussianModel) -> None:
+        """Host half of the window megastep: draw the keyframe sample and
+        the iteration camera sequence (same RNG stream and order as the
+        eager path), pick the static buckets, dispatch ONE program."""
+        from . import megastep as ms
+
+        p = self.pipe
+        eng = self.engine
+        # keyframe sampling — identical draw to _raycast_opt_set
+        self.opt_cam_list = list(self.localframe_cam_window)
+        n_sel = (min(p.keyframe_select_max, len(self.keyframe_cam_list))
+                 if p.kf_sample_method == "random" else 0)
+        if n_sel > 0:
+            sel = self._rng.permutation(len(self.keyframe_cam_list))[:n_sel]
+            for k in sel:
+                self.opt_cam_list.append(self.keyframe_cam_list[int(k)])
+        n_local = len(self.localframe_cam_window)
+        n_valid = len(self.opt_cam_list)
+        M = p.localframe_cam_window_length + p.keyframe_select_max
+        idx_pad = [min(i, n_valid - 1) for i in range(M)]
+        poses = []
+        for i in idx_pad:
+            cam = self.opt_cam_list[i]
+            k = self._pose_idx.get(cam.id, -1)
+            if eng.cam_poses and 0 <= k < len(eng.cam_poses):
+                poses.append(np.asarray(eng.cam_poses[k], np.float32))
+            else:
+                poses.append(np.asarray(cam.c2w, np.float32))
+        gt_rgb = tuple(
+            self.frame_cache.get(self.opt_cam_list[i])[0] for i in idx_pad)
+        # spawn RNG (model stream) + iteration sequence (pipeline stream),
+        # drawn in the eager path's order
+        spawn_key = model.next_rng()
+        idx_seq: list[int] = []
+        while len(idx_seq) < p.local_opt_iters:
+            idx_seq.extend(int(v) for v in self._rng.permutation(n_valid))
+        iter_idx = jnp.asarray(np.asarray(idx_seq[: p.local_opt_iters]),
+                               jnp.int32)
+        m = self.cfg.model
+        tpu = self.cfg.tpu
+        sc = ms.WindowScalars(
+            depth_vis_min=p.depth_vis_min, depth_vis_max=p.depth_vis_max,
+            color_error_thres=p.color_error_thres,
+            alpha_vis_max=p.alpha_vis_max,
+            new_gs_sample_ratio=p.new_gs_sample_ratio,
+            max_new=tpu.max_new_gaussians,
+            default_opacity=m.default_opacities,
+            min_init_scale=m.min_init_scale, max_init_scale=m.max_init_scale,
+            remove_small=p.remove_small_scale_thres,
+            remove_large=p.remove_large_scale_thres,
+            remove_low_opac=p.remove_low_opac_thres,
+            ssim_weight=p.ssim_weight, depth_weight=p.depth_weight,
+            max_iterations=p.max_iterations,
+        )
+        vp = eng.vol.params
+        rk = ms.RayKnobs(
+            width=eng.width, height=eng.height, lb=vp.raycast_lb,
+            samples=vp.raycast_samples, bisect=max(vp.raycast_bisect, 3),
+            tiles_per_step=vp.raycast_tiles_per_step, chunk=vp.raycast_chunk,
+            use_pallas=eng._use_pallas_raycast(),
+        )
+        opt_cap = model.opt_cap(extra=tpu.max_new_gaussians, cached=True)
+        st = model.statics
+        tile_w = -(-st.width // st.tile_size)
+        tile_h = -(-st.height // st.tile_size)
+        # spawn-render statics mirror model.eval_slice's cap handling
+        st_spawn = st._replace(
+            visible_cap=min(st.visible_cap, opt_cap),
+            active_tile_cap=min(tile_w * tile_h,
+                                max(st.active_tile_cap, opt_cap // 8)),
+        )
+        model.pool, aux = ms.window_megastep(
+            eng.vol, model.pool, jnp.asarray(np.stack(poses)), eng._K_dev,
+            gt_rgb, iter_idx, spawn_key,
+            st=st, st_spawn=st_spawn,
+            tx_cfg=gmodel.tx_cfg_tuple(m), sc=sc, rk=rk,
+            spawn_idx=n_local - 1, pool_prefix=eng._pool_prefix(),
+            opt_cap=opt_cap,
+        )
+        self.localframe_raycast_window = []
+        self.opt_raycast_list = []
+        self.curr_iter += p.local_opt_iters
+        self._last_loss_hist = aux["loss_hist"]
+        ofl = jnp.stack([aux["n_tile_overflow"], aux["n_span_overflow"],
+                         aux["n_active_overflow"]])
+        self._bin_overflow = (
+            ofl if self._bin_overflow is None else self._bin_overflow + ofl)
+        self._spawn_overflow = (
+            aux["n_spawn_overflow"] if self._spawn_overflow is None
+            else self._spawn_overflow + aux["n_spawn_overflow"])
+        jax.block_until_ready(model.pool.n_alive)
+        model.refresh_count_async()
+        self._megastep_ran = True
 
     # ----------------------------------------------------------------- spawn
 

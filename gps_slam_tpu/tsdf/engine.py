@@ -635,7 +635,11 @@ class TsdfEngine:
         if col_np.ndim == 3:
             c = col_np.astype(np.uint32)
             col_np = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
-        mp = self.params.max_probes
+        # flat on-disk slot order is layout-stable: reshape to the current
+        # in-memory row width (volume.table_width)
+        from .volume import table_width
+
+        tw_ = table_width(self.params)
         summary = self.vol.summary
         if "mip" in z:
             B = summary.shape[0]
@@ -647,8 +651,8 @@ class TsdfEngine:
                 s_np[:, 65] = z["block_max_w"].astype(np.float32)
             summary = jnp.asarray(s_np)
         self.vol = self.vol.replace(
-            table_keys=jnp.asarray(z["table_keys"].reshape(-1, mp)),
-            table_ptrs=jnp.asarray(z["table_ptrs"].reshape(-1, mp)),
+            table_keys=jnp.asarray(z["table_keys"].reshape(-1, tw_)),
+            table_ptrs=jnp.asarray(z["table_ptrs"].reshape(-1, tw_)),
             block_coords=jnp.asarray(z["block_coords"]),
             sdf=jnp.asarray(sdf_np),
             w_depth=jnp.asarray(z["w_depth"].astype(np.uint8)),

@@ -72,31 +72,39 @@ def hash_packed(packed: jax.Array, table_size: int) -> jax.Array:
 
 
 def lookup(
-    table_keys: jax.Array,  # uint32 [H/mp, mp] bucket-major
-    table_ptrs: jax.Array,  # int32 [H/mp, mp]
+    table_keys: jax.Array,  # uint32 [H/W, W] row-major (W a multiple of mp)
+    table_ptrs: jax.Array,  # int32 [H/W, W]
     packed: jax.Array,      # uint32 [...]: query keys
     max_probes: int,
 ) -> jax.Array:
     """Vectorized probe: returns the block-pool index for each query, or -1.
 
     Probing is over the ALIGNED `max_probes`-slot bucket containing the
-    hash (slots `(h & ~(mp-1)) .. +mp-1`), so the whole probe window is
-    ONE contiguous row gather of the bucket-major table.  The table is
-    STORED [H/mp, mp] (not reshaped per call: the 1-D T(1024) -> 2-D
-    T(8,128) relayout cost ~1 ms/frame inside the fusion scan, round-5
-    xplane trace).  The old linear chain `(h+r) & (H-1)` needed
-    `max_probes` separate element gathers — scalar-core work that the
-    round-3 trace showed dominating fuse_frame.  Bucket capacity is mp
-    keys; with the default 2^17 blocks in a 2^21 table (load 1/16,
-    Poisson per-bucket mean 0.5) a 9-deep bucket has ~1e-9 probability —
-    the same benign-miss class the linear chain had.
+    hash (slots `(h & ~(mp-1)) .. +mp-1`).  The table is STORED as
+    LANE-WIDE rows of W/mp consecutive buckets (W = 128 at the default
+    2^21 size): TPU pads the minor dim of HBM buffers to the 128-lane
+    tile, so an [H/8, 8] bucket-major table occupied 16x its logical
+    bytes and every row gather/scatter dragged the padding (~2.3 ms/frame
+    of gather + relayout copies in the round-5 xplane trace).  A probe
+    now gathers the 128-lane row CONTAINING the bucket and masks to the
+    bucket's mp-slot group — dense DMA rows, VPU-side select, no layout
+    change (a 1-D [H] table was worse still: T(1024) -> T(8,128)
+    relayout per call).  Bucket capacity stays mp keys; with the default
+    2^17 blocks in a 2^21 table (load 1/16, Poisson per-bucket mean 0.5)
+    a 9-deep bucket has ~1e-9 probability — the same benign-miss class
+    the reference's bucket+excess scheme accepts.
     """
-    R, mp = table_keys.shape
-    assert mp == max_probes, (table_keys.shape, max_probes)
-    row = hash_packed(packed, R * mp) // mp
-    keys_r = table_keys[row]   # [..., mp] row gather
+    R, W = table_keys.shape
+    assert W % max_probes == 0, (table_keys.shape, max_probes)
+    mp = max_probes
+    gpr = W // mp                                   # buckets per stored row
+    bucket = hash_packed(packed, R * W) // mp
+    row = bucket // gpr
+    keys_r = table_keys[row]   # [..., W] row gather
     ptrs_r = table_ptrs[row]
-    match = keys_r == packed[..., None]
+    lane_g = jnp.arange(W, dtype=jnp.int32) // mp
+    gmask = lane_g == (bucket % gpr)[..., None]
+    match = (keys_r == packed[..., None]) & gmask
     return jnp.max(jnp.where(match, ptrs_r, -1), axis=-1)
 
 
@@ -127,10 +135,19 @@ def insert(
     max_probes: int,
     block_capacity: int,
     claim_rounds: int | None = None,
+    return_ptrs: bool = False,
 ):
     """Insert candidate keys; allocate pool slots for the newly inserted.
 
-    Returns (table_keys, table_ptrs, n_blocks, block_coords).
+    Returns (table_keys, table_ptrs, n_blocks, block_coords), plus — with
+    `return_ptrs` — the per-candidate pool index [M] (-1 for EMPTY slots
+    and for candidates dropped this frame).  The fusion path consumes the
+    ptrs as this frame's integration set directly: the deduped mu-band
+    candidates ARE the blocks whose voxels can update this frame, so no
+    separate visible-list pass (8-corner projection + band test + nonzero
+    over the allocated prefix) is needed (the reference likewise derives
+    its visible list from the alloc pass's per-block visible marks,
+    ITMSceneReconstructionEngine_CUDA.tcu:96-160).
 
     `packed` must carry each real key AT MOST ONCE (dedup_candidates
     guarantees this for the fusion path; the swap engine's key sets are
@@ -147,12 +164,17 @@ def insert(
     the reference accepts (ITMSceneReconstructionEngine_Shared.h:207-323
     drops on hash-collision within a frame too).
     """
-    R, mp = table_keys.shape
-    assert mp == max_probes, (table_keys.shape, max_probes)
+    R, W = table_keys.shape
+    assert W % max_probes == 0, (table_keys.shape, max_probes)
+    mp = max_probes
+    gpr = W // mp                                        # buckets per row
     valid = packed != EMPTY
-    row = hash_packed(packed, R * mp) // mp              # [M] bucket row
+    bucket = hash_packed(packed, R * W) // mp            # [M] bucket index
+    row = bucket // gpr                                  # [M] stored row
+    lane_g = jnp.arange(W, dtype=jnp.int32) // mp
+    gmask = lane_g[None, :] == (bucket % gpr)[:, None]   # [M, W] bucket lanes
     resolved = ~valid
-    my_col = jnp.full(packed.shape, mp, jnp.int32)       # column in bucket
+    my_col = jnp.full(packed.shape, W, jnp.int32)        # column in row
     # bucketized claim rounds: each round is one [M, mp] bucket row gather
     # (contiguous — see lookup) + one element scatter; the NEXT round's
     # gather doubles as the race check (a claim winner sees its own key as
@@ -167,18 +189,18 @@ def insert(
     rounds = min(mp, mp if claim_rounds is None else claim_rounds)
     ptrs_row = None
     for r in range(rounds + 1):
-        keys = table_keys[row]                           # [M, mp] row gather
-        hitl = keys == packed[:, None]
+        keys = table_keys[row]                           # [M, W] row gather
+        hitl = (keys == packed[:, None]) & gmask
         hit = (~resolved) & jnp.any(hitl, axis=-1)
         hit_col = jnp.argmax(hitl, axis=-1).astype(jnp.int32)
         my_col = jnp.where(hit, hit_col, my_col)
         resolved = resolved | hit
         if r == rounds:
             # the ptr bucket rides the same rows as the final key gather
-            ptrs_row = table_ptrs[row]                   # [M, mp]
+            ptrs_row = table_ptrs[row]                   # [M, W]
             break
         # claim the first empty slot of the bucket
-        emptyl = keys == EMPTY
+        emptyl = (keys == EMPTY) & gmask
         e_col = jnp.argmax(emptyl, axis=-1).astype(jnp.int32)
         want = (~resolved) & jnp.any(emptyl, axis=-1)
         table_keys = table_keys.at[
@@ -187,7 +209,7 @@ def insert(
 
     # allocate pool pointers for newly-claimed slots.  All bookkeeping
     # runs on the [M]-sized candidate arrays, never the [H]-sized table.
-    col_safe = jnp.minimum(my_col, mp - 1)
+    col_safe = jnp.minimum(my_col, W - 1)
     my_ptr = jnp.take_along_axis(ptrs_row, col_safe[:, None], 1)[:, 0]
     is_new = resolved & valid & (my_ptr < 0)
     order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
@@ -205,4 +227,8 @@ def insert(
     block_coords = block_coords.at[jnp.where(fits, new_ptr, block_capacity)].set(
         packed, mode="drop"
     )
+    if return_ptrs:
+        ptrs = jnp.where(fits, new_ptr, my_ptr)
+        ptrs = jnp.where(resolved & valid & (ptrs >= 0), ptrs, -1)
+        return table_keys, table_ptrs, n_blocks + n_alloc, block_coords, ptrs
     return table_keys, table_ptrs, n_blocks + n_alloc, block_coords

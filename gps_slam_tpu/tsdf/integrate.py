@@ -385,7 +385,7 @@ def _fuse_frame_impl(
         cand = jnp.where(
             (owner == shard_sid) & (cand != vhash.EMPTY), cand, vhash.EMPTY)
     cand = vhash.dedup_candidates(cand, p.alloc_candidate_cap)
-    tk, tp, nb, bc = vhash.insert(
+    tk, tp, nb, bc, cand_ptrs = vhash.insert(
         vol.table_keys, vol.table_ptrs, vol.n_blocks, vol.block_coords,
         cand, p.max_probes, p.block_capacity,
         # incremental per-frame inserts: a claim round is only lost to a
@@ -394,25 +394,48 @@ def _fuse_frame_impl(
         # frame.  Each extra round costs an [M, mp] row gather + an O(M)
         # scalar-core scatter (~0.7 ms/frame at M=32k, round-5 trace)
         claim_rounds=2,
+        return_ptrs=True,
     )
     vol = vol.replace(table_keys=tk, table_ptrs=tp, n_blocks=nb, block_coords=bc)
 
-    # 2. visible list
     w2c_R = c2w[:3, :3].T
     w2c_t = -mm(w2c_R, c2w[:3, 3])
     w2c = jnp.concatenate(
         [jnp.concatenate([w2c_R, w2c_t[:, None]], axis=1),
          jnp.array([[0.0, 0.0, 0.0, 1.0]])], axis=0
     )
-    vis, n_vis = visible_blocks(vol, w2c, fx, fy, cx, cy, width, height,
-                                depth=depth, prefix=pool_prefix, cap=vis_cap)
-    vis_valid = vis >= 0
-    vis_safe = jnp.where(vis_valid, vis, 0)
+    # 2. integration set.  Band mode (the default): this frame's deduped
+    #    mu-band candidates ARE the blocks whose voxels can update — their
+    #    pool ptrs come straight out of `insert` (dedup's sort parks EMPTY
+    #    keys at the end, so the valid prefix is contiguous and the list
+    #    is a static slice: no 8-corner projection over the allocated
+    #    prefix, no [B]-wide band test, no nonzero compaction).  The only
+    #    semantic difference vs the projected visible list is a thin shell
+    #    of free-space carving beyond +mu that band_only_integration
+    #    already skipped at tile granularity (quality-gated by the bench's
+    #    psnr/ssim line).  Full-carving mode keeps the projected list.
+    if p.band_only_integration:
+        V = min(vis_cap if vis_cap is not None else p.visible_capacity,
+                p.alloc_candidate_cap)
+        vis = cand_ptrs[:V]
+        n_vis = jnp.sum((cand != vhash.EMPTY).astype(jnp.int32))
+        vis_valid = vis >= 0
+        vis_safe = jnp.where(vis_valid, vis, 0)
+        # key 0 for padded rows keeps the projection math finite (their
+        # voxel updates are masked by vis_valid; EMPTY would unpack to the
+        # coord-space corner and can overflow the f32 projection)
+        keys = jnp.where(vis_valid, cand[:V], jnp.uint32(0))
+    else:
+        vis, n_vis = visible_blocks(vol, w2c, fx, fy, cx, cy, width, height,
+                                    depth=depth, prefix=pool_prefix,
+                                    cap=vis_cap)
+        vis_valid = vis >= 0
+        vis_safe = jnp.where(vis_valid, vis, 0)
+        keys = vol.block_coords[vis_safe]
 
-    # 3. integrate: gather visible blocks, masked running-average update,
+    # 3. integrate: gather the set's blocks, masked running-average update,
     #    scatter back (computeUpdatedVoxelDepthInfo / ColorInfo,
     #    Shared.h:8-140)
-    keys = vol.block_coords[vis_safe]
     rgb_packed = _pack_rgb(rgb)
 
     # the window kernels anchor a 2x2 tile neighborhood at clip(.., dim-2):

@@ -88,12 +88,15 @@ class TsdfParams:
 @struct.dataclass
 class TsdfVolume:
     params: TsdfParams
-    # hash table stored BUCKET-MAJOR [H/max_probes, max_probes]: every
-    # probe window is one contiguous row, and the layout is 2-D-native
-    # (reshaping a 1-D [H] table per lookup cost ~1 ms/frame of T(1024)
-    # -> T(8,128) relayout inside the fusion scan, round-5 xplane trace)
-    table_keys: jax.Array    # uint32 [H/mp, mp] packed block coords (EMPTY = free)
-    table_ptrs: jax.Array    # int32 [H/mp, mp] block-pool index or -1
+    # hash table stored as LANE-WIDE rows of consecutive max_probes-slot
+    # buckets ([H/128, 128] at the default size): TPU pads the minor dim
+    # of HBM buffers to the 128-lane tile, so a [H/mp, mp] bucket-major
+    # table occupied 16x its logical bytes and every probe gather dragged
+    # the padding (hash.lookup's doc has the numbers).  The flattened
+    # (row-major) slot order is IDENTICAL to bucket-major, so 1-D
+    # consumers (native mesher, save files) are unaffected.
+    table_keys: jax.Array    # uint32 [H/W, W] packed block coords (EMPTY = free)
+    table_ptrs: jax.Array    # int32 [H/W, W] block-pool index or -1
     block_coords: jax.Array  # uint32 [B] reverse map: pool idx -> packed coords
     sdf: jax.Array           # i16 [B, 512] sdf * SDF_SCALE, init SDF_SCALE
     w_depth: jax.Array       # u8 [B, 512]
@@ -129,14 +132,20 @@ def init_summary(B: int) -> jax.Array:
     return jnp.broadcast_to(row, (B, 128)).copy()
 
 
+def table_width(params: TsdfParams) -> int:
+    """Stored row width of the hash table: 128 lanes when the table is
+    big enough, never below one bucket (tiny test tables)."""
+    return max(params.max_probes, min(128, params.hash_size))
+
+
 def create(params: TsdfParams) -> TsdfVolume:
     H, B = params.hash_size, params.block_capacity
-    mp = params.max_probes
     assert H & (H - 1) == 0, "hash_size must be a power of two"
+    W = table_width(params)
     return TsdfVolume(
         params=params,
-        table_keys=jnp.full((H // mp, mp), vhash.EMPTY, dtype=jnp.uint32),
-        table_ptrs=jnp.full((H // mp, mp), -1, dtype=jnp.int32),
+        table_keys=jnp.full((H // W, W), vhash.EMPTY, dtype=jnp.uint32),
+        table_ptrs=jnp.full((H // W, W), -1, dtype=jnp.int32),
         block_coords=jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32),
         sdf=jnp.full((B, BLOCK_VOL), int(SDF_SCALE), dtype=jnp.int16),
         w_depth=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint8),

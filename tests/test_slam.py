@@ -244,3 +244,54 @@ def test_icp_tracker_converges():
     err_after = np.linalg.norm(est[:3, 3] - true_pose[:3, 3])
     assert quality != TrackerQuality.FAILED
     assert err_after < 0.35 * err_before, (err_before, err_after)
+
+
+def test_window_megastep_matches_eager(tmp_path):
+    """The one-dispatch window megastep (slam/megastep.py) must reproduce
+    the eager per-phase path: identical RNG draw order by construction, so
+    gaussian counts match exactly and the trained renders agree to
+    float-reassociation noise (the megastep fuses the same ops into one
+    XLA module)."""
+    import jax.numpy as jnp
+
+    from gps_slam_tpu.gs.model import GaussianModel
+    from gps_slam_tpu.slam.pipeline import SLAMPipeline
+    from gps_slam_tpu.tsdf.engine import TsdfEngine
+
+    n_frames = 25
+    cams = synthetic.make_cameras(n_frames=n_frames, width=96, height=64)
+    cam0 = cams[0]
+    node = {
+        "input_dir": "m", "image_path": "c", "pose_path": "c", "depth_path": "d",
+        "pcd_name": "n", "depth_scale": 6553.5, "scene_scale": 1.0,
+        "start_frame": 0, "end_frame": n_frames - 1, "frame_step": 1,
+        "intrinsics": [cam0.fx, cam0.fy, cam0.cx, cam0.cy],
+        "image_shape": [96, 64], "downscale_factor": 1, "test_split_interval": -1,
+    }
+
+    def run(disable_megastep):
+        cfg = Config.from_dict(
+            synthetic.default_config_dict(str(tmp_path / "ws"), node))
+        engine = TsdfEngine(cfg, 96, 64, cam0.K)
+        engine.set_gt_poses([c.c2w for c in cams])
+        engine.turn_off_tracking()
+        engine.sync_counts = True  # deterministic cap buckets
+        model = GaussianModel(cfg, 96, 64)
+        model.sync_counts = True
+        pipe = SLAMPipeline(cfg, engine, cfg.workspace_dir, is_train=False)
+        pipe.disable_megastep = disable_megastep
+        pipe.slam_train_cams(model, cams)
+        if not disable_megastep:
+            assert pipe._megastep_ran, "megastep gate never fired"
+        cam = cams[12]
+        ray = engine.run_raycast(cam.c2w, cam.K, cam.width, cam.height)
+        res = model.forward(cam.c2w, cam.K, ray["depth_map"][..., 0],
+                            ray["color_map"])
+        return model.num_gaussians, np.asarray(jnp.clip(res["rgb"], 0, 1))
+
+    n_eager, img_eager = run(True)
+    n_mega, img_mega = run(False)
+    assert n_mega == n_eager, (n_mega, n_eager)
+    mse = float(((img_mega - img_eager) ** 2).mean())
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 45.0, f"megastep render diverged: {psnr:.1f} dB"
