@@ -589,7 +589,7 @@ class TsdfEngine:
             # check where the volume actually lives, NOT
             # jax.default_backend(): the axon TPU plugin reports 'tpu'
             # even when JAX_PLATFORMS/jax_default_device pin CPU
-            return next(iter(self.vol.sdf.devices())).platform == "tpu"
+            return next(iter(self.vol.state.devices())).platform == "tpu"
         except Exception:
             return False
 
@@ -599,6 +599,9 @@ class TsdfEngine:
         """Scene checkpoint (ITMBasicEngine::SaveToFile equivalent,
         ITMBasicEngine.tpp:120-135) as one npz."""
         os.makedirs(out_dir, exist_ok=True)
+        st_np = np.asarray(self.vol.state)
+        sdf_i = (st_np & 0xFFFF).astype(np.int32)
+        sdf_i = np.where(sdf_i >= 32768, sdf_i - 65536, sdf_i).astype(np.int16)
         np.savez_compressed(
             os.path.join(out_dir, "scene.npz"),
             # stored flat [H] for on-disk stability across the bucket-major
@@ -606,10 +609,12 @@ class TsdfEngine:
             table_keys=np.asarray(self.vol.table_keys).reshape(-1),
             table_ptrs=np.asarray(self.vol.table_ptrs).reshape(-1),
             block_coords=np.asarray(self.vol.block_coords),
-            sdf=np.asarray(self.vol.sdf),
-            w_depth=np.asarray(self.vol.w_depth),
+            # on-disk format keeps the reference's separate voxel fields
+            # (stable across the packed in-memory layout)
+            sdf=sdf_i,
+            w_depth=((st_np >> 16) & 0xFF).astype(np.uint8),
             color=np.asarray(self.vol.color),
-            w_color=np.asarray(self.vol.w_color),
+            w_color=(st_np >> 24).astype(np.uint8),
             n_blocks=np.asarray(self.vol.n_blocks),
             mip=np.asarray(self.vol.summary[:, :64]),
             block_min_sdf=np.asarray(self.vol.summary[:, 64]),
@@ -650,14 +655,17 @@ class TsdfEngine:
             if "block_max_w" in z:
                 s_np[:, 65] = z["block_max_w"].astype(np.float32)
             summary = jnp.asarray(s_np)
+        su = sdf_np.astype(np.int32)
+        su = np.where(su < 0, su + 65536, su).astype(np.uint32)
+        state_np = (su
+                    | (z["w_depth"].astype(np.uint32) << 16)
+                    | (z["w_color"].astype(np.uint32) << 24))
         self.vol = self.vol.replace(
             table_keys=jnp.asarray(z["table_keys"].reshape(-1, tw_)),
             table_ptrs=jnp.asarray(z["table_ptrs"].reshape(-1, tw_)),
             block_coords=jnp.asarray(z["block_coords"]),
-            sdf=jnp.asarray(sdf_np),
-            w_depth=jnp.asarray(z["w_depth"].astype(np.uint8)),
+            state=jnp.asarray(state_np),
             color=jnp.asarray(col_np),
-            w_color=jnp.asarray(z["w_color"].astype(np.uint8)),
             n_blocks=jnp.asarray(z["n_blocks"]),
             summary=summary,
             last_seen=jnp.asarray(z["last_seen"])

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from ..utils.precision import mm
 from . import hash as vhash
-from .volume import BLOCK, BLOCK_VOL, TsdfVolume, sdf_to_f32, sdf_to_i16
+from .volume import (BLOCK, BLOCK_VOL, TsdfVolume, pack_state,
+                     state_sdf_f32, state_w_color, state_w_depth)
 
 
 def _pack_rgb(rgb: jax.Array) -> jax.Array:
@@ -447,15 +448,9 @@ def _fuse_frame_impl(
     if use_pallas:
         from . import integrate_pallas as ipk
 
-        # voxel state crosses HBM as TWO u32 planes (these packs fuse
-        # into the row gathers; the unpacks below fuse into the
-        # scatters) — the f32 form staged ~270 MB/frame of converts +
-        # output planes at bench scale (round-4 xplane trace)
-        old_packed = (
-            (vol.sdf[vis_safe].astype(jnp.int32) & 0xFFFF).astype(jnp.uint32)
-            | (vol.w_depth[vis_safe].astype(jnp.uint32) << 16)
-            | (vol.w_color[vis_safe].astype(jnp.uint32) << 24)
-        )
+        # the volume's native voxel state IS the kernel's packed format
+        # (volume.pack_state) — one u32 row gather, no pack
+        old_packed = vol.state[vis_safe]
         new_packed, new_cp, summary = ipk.integrate_blocks_packed(
             depth, rgb_packed, keys, vis_valid, old_packed,
             vol.color[vis_safe], w2c, fx, fy, cx, cy, width, height,
@@ -485,8 +480,9 @@ def _fuse_frame_impl(
     eta = d_meas - z
     update = in_img & in_win & has_depth & (eta >= -p.mu) & vis_valid[:, None]
 
-    old_f = sdf_to_f32(vol.sdf[vis_safe])                    # [V, 512]
-    old_w = vol.w_depth[vis_safe].astype(jnp.float32)
+    st_rows = vol.state[vis_safe]                            # [V, 512] u32
+    old_f = state_sdf_f32(st_rows)
+    old_w = state_w_depth(st_rows).astype(jnp.float32)
     new_f_obs = jnp.minimum(1.0, eta / p.mu)
     num = old_w * old_f + new_f_obs
     den = old_w + 1.0
@@ -518,7 +514,7 @@ def _fuse_frame_impl(
     else:
         c_meas = c_win
     old_c = _unpack_rgb(vol.color[vis_safe])
-    old_wc = vol.w_color[vis_safe].astype(jnp.float32)
+    old_wc = state_w_color(st_rows).astype(jnp.float32)
     new_c = jnp.where(
         color_update[..., None],
         (old_c * old_wc[..., None] + c_meas) / (old_wc[..., None] + 1.0),
@@ -596,17 +592,10 @@ def _finish_fuse_packed(vol, vis, vis_valid, new_packed, new_cp, summary,
     p = vol.params
     if n_vis is not None:
         vol = vol.replace(n_visible=n_vis)
-    su = (new_packed & 0xFFFF).astype(jnp.int32)
-    sdf_i = jnp.where(su >= 32768, su - 65536, su).astype(jnp.int16)
-    new_w = ((new_packed >> 16) & 0xFF).astype(jnp.uint8)
-    new_wc = (new_packed >> 24).astype(jnp.uint8)
-
     scatter_idx = jnp.where(vis_valid, vis, p.block_capacity)
     vol = vol.replace(
-        sdf=vol.sdf.at[scatter_idx].set(sdf_i, mode="drop"),
-        w_depth=vol.w_depth.at[scatter_idx].set(new_w, mode="drop"),
+        state=vol.state.at[scatter_idx].set(new_packed, mode="drop"),
         color=vol.color.at[scatter_idx].set(new_cp, mode="drop"),
-        w_color=vol.w_color.at[scatter_idx].set(new_wc, mode="drop"),
         summary=vol.summary.at[scatter_idx].set(summary, mode="drop"),
     )
     if frame_idx is not None:
@@ -638,13 +627,13 @@ def _finish_fuse(vol, vis, vis_valid, new_f, new_w, new_c, new_wc,
         [mip, min_sdf[:, None], max_w[:, None],
          jnp.zeros((V, 62), jnp.float32)], axis=1)
 
-    # scatter back (unique indices -> deterministic)
+    # scatter back (unique indices -> deterministic); the state pack
+    # fuses into the scatter operand
     scatter_idx = jnp.where(vis_valid, vis, p.block_capacity)
     vol = vol.replace(
-        sdf=vol.sdf.at[scatter_idx].set(sdf_to_i16(new_f), mode="drop"),
-        w_depth=vol.w_depth.at[scatter_idx].set(new_w.astype(jnp.uint8), mode="drop"),
+        state=vol.state.at[scatter_idx].set(
+            pack_state(new_f, new_w, new_wc), mode="drop"),
         color=vol.color.at[scatter_idx].set(_pack_rgb(new_c), mode="drop"),
-        w_color=vol.w_color.at[scatter_idx].set(new_wc.astype(jnp.uint8), mode="drop"),
         summary=vol.summary.at[scatter_idx].set(summary, mode="drop"),
     )
     if frame_idx is not None:

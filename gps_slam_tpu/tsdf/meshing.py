@@ -297,6 +297,12 @@ def extract_mesh(vol: TsdfVolume, chunk_blocks: int = 2048,
     """
     if algo not in ("mt", "mc"):
         raise ValueError(f"unknown mesh algo {algo!r} (want 'mt' or 'mc')")
+
+    def _np_state_sdf(st):
+        si = (st & 0xFFFF).astype(np.int32)
+        si = np.where(si >= 32768, si - 65536, si)
+        return si.astype(np.float32) / 32767.0
+
     if use_native:
         from .native import extract_mesh_native
 
@@ -307,9 +313,9 @@ def extract_mesh(vol: TsdfVolume, chunk_blocks: int = 2048,
 
     vol_np = {
         "block_coords": np.asarray(vol.block_coords),
-        # dequantize the i16 pool once on host (SDF_SCALE, volume.py)
-        "sdf": np.asarray(vol.sdf).astype(np.float32) / 32767.0,
-        "w_depth": np.asarray(vol.w_depth).astype(np.int32),
+        # dequantize the packed pool once on host (volume.pack_state)
+        "sdf": _np_state_sdf(np.asarray(vol.state)),
+        "w_depth": ((np.asarray(vol.state) >> 16) & 0xFF).astype(np.int32),
         "color": unpack_color_np(vol.color),
     }
     hh = _HostHash(

@@ -81,9 +81,12 @@ def extract_mesh_native(vol, require_weight: bool = True,
     tk = np.ascontiguousarray(np.asarray(vol.table_keys).reshape(-1), np.uint32)
     tp = np.ascontiguousarray(np.asarray(vol.table_ptrs).reshape(-1), np.int32)
     bc = np.ascontiguousarray(np.asarray(vol.block_coords), np.uint32)
-    sdf = np.ascontiguousarray(
-        np.asarray(vol.sdf).astype(np.float32) / 32767.0, np.float32)
-    w = np.ascontiguousarray(np.asarray(vol.w_depth), np.int16)
+    st_np = np.asarray(vol.state)
+    sdf_i = (st_np & 0xFFFF).astype(np.int32)
+    sdf_i = np.where(sdf_i >= 32768, sdf_i - 65536, sdf_i)
+    sdf = np.ascontiguousarray(sdf_i.astype(np.float32) / 32767.0, np.float32)
+    w = np.ascontiguousarray(
+        ((st_np >> 16) & 0xFF).astype(np.int16), np.int16)
     from .volume import unpack_color_np
 
     col = np.ascontiguousarray(unpack_color_np(vol.color), np.uint8)

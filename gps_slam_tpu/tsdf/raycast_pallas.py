@@ -368,12 +368,11 @@ def raycast(
         pool_prefix=pool_prefix,
     )
 
-    # payload row gathers (contiguous rows; i16 HBM traffic, bf16 once
-    # here — the 1/SDF_SCALE dequant fuses into the gather consumer)
-    from .volume import INV_SDF_SCALE
+    # payload row gathers (contiguous rows; bf16 once here — the unpack
+    # + dequant of the packed state fuses into the gather consumer)
+    from .volume import state_sdf_f32
 
-    sdf_rows = (vol.sdf[gids].astype(jnp.float32)
-                * INV_SDF_SCALE).astype(jnp.bfloat16)          # [T, LB, 512]
+    sdf_rows = state_sdf_f32(vol.state[gids]).astype(jnp.bfloat16)  # [T, LB, 512]
     summ_rows = vol.summary[gids]                              # [T, LB, 128]
     mip_rows = summ_rows[..., :64].astype(jnp.bfloat16)        # [T, LB, 64]
     maxw_rows = summ_rows[..., 65]                             # [T, LB]

@@ -216,13 +216,14 @@ def raycast(
         pool_prefix=pool_prefix,
     )
 
-    # row-gathered tile payloads (cast to bf16 once, outside the scan)
-    from .volume import INV_SDF_SCALE
+    # row-gathered tile payloads (cast to bf16 once, outside the scan);
+    # sdf + weight unpack from the packed state rows (volume.pack_state)
+    from .volume import state_sdf_f32, state_w_depth
 
-    sdf_rows = (vol.sdf[gids].astype(jnp.float32)
-                * INV_SDF_SCALE).astype(jnp.bfloat16)  # [T, LB, 512]
+    st_rows = vol.state[gids]                          # [T, LB, 512] u32
+    sdf_rows = state_sdf_f32(st_rows).astype(jnp.bfloat16)  # [T, LB, 512]
     mip_rows = vol.summary[gids, :64].astype(jnp.bfloat16)  # [T, LB, 64]
-    w_rows = vol.w_depth[gids].astype(jnp.bfloat16)    # [T, LB, 512]
+    w_rows = state_w_depth(st_rows).astype(jnp.bfloat16)  # [T, LB, 512]
     cp = vol.color[gids]                               # [T, LB, 512] u32 packed
     c_rows = jnp.stack(
         [(cp & 0xFF), (cp >> 8) & 0xFF, (cp >> 16) & 0xFF], axis=-1

@@ -33,8 +33,26 @@ import numpy as np
 from . import hash as vhash
 from .volume import TsdfVolume
 
-_POOL_FIELDS = ("sdf", "w_depth", "color", "w_color", "summary",
-                "last_seen")
+_POOL_FIELDS = ("state", "color", "summary", "last_seen")
+
+
+def _np_unpack_state(st):
+    """Host-side volume.pack_state inverse: u32 -> (sdf f32, w f32, wc f32)."""
+    si = (st & 0xFFFF).astype(np.int32)
+    si = np.where(si >= 32768, si - 65536, si)
+    from .volume import SDF_SCALE
+
+    return (si.astype(np.float32) / SDF_SCALE,
+            ((st >> 16) & 0xFF).astype(np.float32),
+            (st >> 24).astype(np.float32))
+
+
+def _np_pack_state(f, w, wc):
+    from .volume import SDF_SCALE
+
+    q = np.round(np.clip(f, -1.0, 1.0) * SDF_SCALE).astype(np.int32)
+    su = np.where(q < 0, q + 65536, q).astype(np.uint32)
+    return su | (w.astype(np.uint32) << 16) | (wc.astype(np.uint32) << 24)
 
 
 class HostSwapEngine:
@@ -75,9 +93,11 @@ class HostSwapEngine:
         # unique, all new -> ptrs are exactly 0..keep_n-1 in that order)
         p = vol.params
         keep_keys = jnp.asarray(coords[keep_ids])
-        H, mp = p.hash_size, p.max_probes
-        tk = jnp.full((H // mp, mp), vhash.EMPTY, dtype=jnp.uint32)
-        tp = jnp.full((H // mp, mp), -1, dtype=jnp.int32)
+        from .volume import table_width
+
+        H, W = p.hash_size, table_width(p)
+        tk = jnp.full((H // W, W), vhash.EMPTY, dtype=jnp.uint32)
+        tp = jnp.full((H // W, W), -1, dtype=jnp.int32)
         bc = jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32)
         tk, tp, nb, bc = vhash.insert(
             tk, tp, jnp.zeros((), jnp.int32), bc, keep_keys,
@@ -94,14 +114,12 @@ class HostSwapEngine:
             return jnp.concatenate(
                 [x[keep_dev], init_summary(B - keep_n)], 0)
 
-        from .volume import SDF_SCALE
+        from .volume import STATE_INIT
 
         vol = vol.replace(
             table_keys=tk, table_ptrs=tp, n_blocks=nb, block_coords=bc,
-            sdf=tail_like(vol.sdf, int(SDF_SCALE)),
-            w_depth=tail_like(vol.w_depth, 0),
+            state=tail_like(vol.state, STATE_INIT),
             color=tail_like(vol.color, 0),
-            w_color=tail_like(vol.w_color, 0),
             summary=tail_like_summary(vol.summary),
             last_seen=tail_like(vol.last_seen, -1),
         )
@@ -213,19 +231,13 @@ class HostSwapEngine:
 
         # running-average merge with whatever fusion already wrote
         # (ITMSwappingEngine_Shared.h combineVoxelInformation semantics)
-        from .volume import SDF_SCALE
-
         from .volume import unpack_color_np
 
         max_w = float(vol.params.max_w)
-        f1 = np.asarray(vol.sdf[rows_dev]).astype(np.float32) / SDF_SCALE
-        w1 = np.asarray(vol.w_depth[rows_dev]).astype(np.float32)
+        f1, w1, wc1 = _np_unpack_state(np.asarray(vol.state[rows_dev]))
         c1 = unpack_color_np(vol.color[rows_dev]).astype(np.float32)
-        wc1 = np.asarray(vol.w_color[rows_dev]).astype(np.float32)
-        f2 = st["sdf"].astype(np.float32) / SDF_SCALE
-        w2 = st["w_depth"].astype(np.float32)
+        f2, w2, wc2 = _np_unpack_state(st["state"])
         c2 = unpack_color_np(st["color"]).astype(np.float32)
-        wc2 = st["w_color"].astype(np.float32)
         wsum = w1 + w2
         f = np.where(wsum > 0, (w1 * f1 + w2 * f2) / np.maximum(wsum, 1), 1.0)
         w = np.minimum(wsum, max_w)
@@ -249,14 +261,9 @@ class HostSwapEngine:
              np.zeros((len(mip), 62), np.float32)], axis=1).astype(np.float32)
 
         vol = vol.replace(
-            sdf=vol.sdf.at[rows_dev].set(
-                jnp.asarray(np.round(np.clip(f, -1, 1) * SDF_SCALE)
-                            .astype(np.int16))),
-            w_depth=vol.w_depth.at[rows_dev].set(
-                jnp.asarray(w.astype(np.uint8))),
+            state=vol.state.at[rows_dev].set(
+                jnp.asarray(_np_pack_state(f, w, wc))),
             color=vol.color.at[rows_dev].set(jnp.asarray(c_packed)),
-            w_color=vol.w_color.at[rows_dev].set(
-                jnp.asarray(wc.astype(np.uint8))),
             summary=vol.summary.at[rows_dev].set(jnp.asarray(summary)),
         )
         self.n_reloaded_total += len(hit)

@@ -41,6 +41,46 @@ def sdf_to_i16(f: jax.Array) -> jax.Array:
     return jnp.round(jnp.clip(f, -1.0, 1.0) * SDF_SCALE).astype(jnp.int16)
 
 
+# ---------------------------------------------------------------------------
+# packed voxel state: ONE u32 per voxel = sdf-i16 (bits 0-15, two's
+# complement) | w_depth u8 (16-23) | w_color u8 (24-31).  This is the
+# same packing the pallas integrate kernel always used internally; storing
+# it natively makes fusion gather+scatter ONE plane instead of three
+# (scatter cost on this hardware is per-op row overhead, not bytes) and
+# deletes the pack/unpack that bracketed every fuse.  Consumers unpack at
+# gather time with shift-ands that fuse into the gather consumer.
+# ---------------------------------------------------------------------------
+
+STATE_INIT = 0x7FFF  # sdf = +1 (SDF_SCALE), w_depth = 0, w_color = 0
+
+
+def state_sdf_i32(state: jax.Array) -> jax.Array:
+    """Packed state -> sign-extended integer sdf (i32, value in i16 range)."""
+    su = (state & 0xFFFF).astype(jnp.int32)
+    return jnp.where(su >= 32768, su - 65536, su)
+
+
+def state_sdf_f32(state: jax.Array) -> jax.Array:
+    return state_sdf_i32(state).astype(jnp.float32) * INV_SDF_SCALE
+
+
+def state_w_depth(state: jax.Array) -> jax.Array:
+    return ((state >> 16) & 0xFF).astype(jnp.int32)
+
+
+def state_w_color(state: jax.Array) -> jax.Array:
+    return (state >> 24).astype(jnp.int32)
+
+
+def pack_state(sdf_f32: jax.Array, w_depth, w_color) -> jax.Array:
+    """(f32 sdf in [-1,1], integer-valued weights) -> packed u32."""
+    q = jnp.round(jnp.clip(sdf_f32, -1.0, 1.0) * SDF_SCALE).astype(jnp.int32)
+    su = jnp.where(q < 0, q + 65536, q).astype(jnp.uint32)
+    return (su
+            | (w_depth.astype(jnp.uint32) << 16)
+            | (w_color.astype(jnp.uint32) << 24))
+
+
 def unpack_color_np(packed) -> "np.ndarray":
     """Host-side u32 rgb888 -> u8 [..., 3] (meshers / exports)."""
     import numpy as np
@@ -98,15 +138,17 @@ class TsdfVolume:
     table_keys: jax.Array    # uint32 [H/W, W] packed block coords (EMPTY = free)
     table_ptrs: jax.Array    # int32 [H/W, W] block-pool index or -1
     block_coords: jax.Array  # uint32 [B] reverse map: pool idx -> packed coords
-    sdf: jax.Array           # i16 [B, 512] sdf * SDF_SCALE, init SDF_SCALE
-    w_depth: jax.Array       # u8 [B, 512]
+    # ONE u32 plane per voxel: sdf-i16 | w_depth u8 << 16 | w_color u8
+    # << 24 (see pack_state above).  ITMVoxel_s_rgb's separate fields
+    # (ITMVoxelTypes.h:41-69) were three planes here through round 4;
+    # packing them made fusion's gather+scatter one plane instead of three
+    state: jax.Array         # u32 [B, 512] packed voxel state
     # rgb888 packed into one u32 plane (r | g<<8 | b<<16): a [B, 512, 3]
     # u8 layout costs two full-pool transpose copies per fused frame
     # (XLA flips {1,0,2}<->{1,2,0} around the scatter, ~2 ms/frame) and a
     # channel-major copy in every raycast payload; one u32 plane makes
     # gather/scatter layout-native and unpacks with 3 shift-ands at use
     color: jax.Array         # u32 [B, 512] packed rgb888
-    w_color: jax.Array       # u8 [B, 512]
     n_blocks: jax.Array      # i32 scalar
     # visible-block count of the LAST fused frame (pre-cap) — the engine
     # fetches it asynchronously to size the next frames' visible-list
@@ -147,10 +189,8 @@ def create(params: TsdfParams) -> TsdfVolume:
         table_keys=jnp.full((H // W, W), vhash.EMPTY, dtype=jnp.uint32),
         table_ptrs=jnp.full((H // W, W), -1, dtype=jnp.int32),
         block_coords=jnp.full((B,), vhash.EMPTY, dtype=jnp.uint32),
-        sdf=jnp.full((B, BLOCK_VOL), int(SDF_SCALE), dtype=jnp.int16),
-        w_depth=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint8),
+        state=jnp.full((B, BLOCK_VOL), STATE_INIT, dtype=jnp.uint32),
         color=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint32),
-        w_color=jnp.zeros((B, BLOCK_VOL), dtype=jnp.uint8),
         n_blocks=jnp.zeros((), dtype=jnp.int32),
         n_visible=jnp.zeros((), dtype=jnp.int32),
         summary=init_summary(B),
@@ -179,7 +219,7 @@ def read_sdf_nearest(vol: TsdfVolume, pt_voxel: jax.Array):
     ptr = vhash.lookup(vol.table_keys, vol.table_ptrs, key, vol.params.max_probes)
     found = ptr >= 0
     safe = jnp.where(found, ptr, 0)
-    sdf = sdf_to_f32(vol.sdf[safe, lin])
+    sdf = state_sdf_f32(vol.state[safe, lin])
     return jnp.where(found, sdf, 1.0), found
 
 
@@ -213,7 +253,7 @@ def read_sdf_trilinear(vol: TsdfVolume, pt_voxel: jax.Array):
     any_found = jnp.zeros(pt_voxel.shape[:-1], dtype=bool)
     for off, w in zip(_CORNERS, weights):
         safe, lin, found = _gather_corner(vol, base, off)
-        v = jnp.where(found, sdf_to_f32(vol.sdf[safe, lin]), 1.0)
+        v = jnp.where(found, state_sdf_f32(vol.state[safe, lin]), 1.0)
         acc = acc + w * v
         any_found = any_found | found
     return acc, any_found
@@ -258,10 +298,11 @@ def read_sdf_with_confidence(vol: TsdfVolume, pt_voxel: jax.Array):
     conf_acc = 0.0
     for off, w in zip(_CORNERS, weights):
         safe, lin, found = _gather_corner(vol, base, off)
+        st_ = vol.state[safe, lin]
         sdf_acc = sdf_acc + w * jnp.where(
-            found, sdf_to_f32(vol.sdf[safe, lin]), 1.0
+            found, state_sdf_f32(st_), 1.0
         )
         conf_acc = conf_acc + w * jnp.where(
-            found, vol.w_depth[safe, lin].astype(jnp.float32), 0.0
+            found, state_w_depth(st_).astype(jnp.float32), 0.0
         )
     return sdf_acc, conf_acc

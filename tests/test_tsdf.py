@@ -113,12 +113,12 @@ def test_chunked_fusion_matches_per_frame(fused_volume):
         np.asarray(vol_chunk.block_coords[:n_seq]),
         np.asarray(vol_seq.block_coords[:n_seq]))
     np.testing.assert_allclose(
-        np.asarray(vol_mod.sdf_to_f32(vol_chunk.sdf[:n_seq])),
-        np.asarray(vol_mod.sdf_to_f32(vol_seq.sdf[:n_seq])),
+        np.asarray(vol_mod.state_sdf_f32(vol_chunk.state[:n_seq])),
+        np.asarray(vol_mod.state_sdf_f32(vol_seq.state[:n_seq])),
         atol=2e-4)  # one i16 quantization step
     np.testing.assert_array_equal(
-        np.asarray(vol_chunk.w_depth[:n_seq]),
-        np.asarray(vol_seq.w_depth[:n_seq]))
+        np.asarray(vol_mod.state_w_depth(vol_chunk.state[:n_seq])),
+        np.asarray(vol_mod.state_w_depth(vol_seq.state[:n_seq])))
 
 
 def test_raycast_batch_matches_per_camera(fused_volume):
